@@ -1,0 +1,192 @@
+"""The ENF field decoder: latent stem -> latent self attention -> cross attention -> MLP.
+
+Parity with reference ``enf/models/equivariant_cross_attention_nef.py``
+(``EquivariantCrossAttentionNeF``): all experiment configs use ``num_layers: 0``, so in
+practice the decoder is stem -> single cross-attention block -> 3-layer gelu MLP head.
+
+TPU-first additions over the reference:
+
+- ``decode_chunked``: a jit-friendly ``lax.map`` over coordinate tiles replacing the
+  reference's un-jitted Python chunk loop (``pde_trainer.py:396-402``) — the whole
+  validation/rollout decode compiles to a single XLA program.
+- the final cross-attention block can run on the fused Pallas kernel
+  (``backend='pallas'``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn import gelu
+
+from enf_pde_tpu.geometry.invariants import BaseInvariant
+from enf_pde_tpu.ops.attention import EquivariantCrossAttention, PointwiseFFN
+
+__all__ = ["EnfDecoder", "CrossAttentionBlock", "decode_chunked", "embed_pose_angles"]
+
+
+def embed_pose_angles(p: jnp.ndarray, invariant: BaseInvariant) -> jnp.ndarray:
+    """Map angular pose components to the circle: (pos, theta) -> (pos, cos, sin)."""
+    if invariant.num_z_ori_dims > 0:
+        p_pos = p[:, :, : invariant.num_z_pos_dims]
+        p_ang = p[:, :, invariant.num_z_pos_dims :]
+        return jnp.concatenate([p_pos, jnp.cos(p_ang), jnp.sin(p_ang)], axis=-1)
+    return p
+
+
+class CrossAttentionBlock(nn.Module):
+    """LayerNorm(a) -> attention -> [residual] -> PointwiseFFN."""
+
+    num_hidden: int
+    num_heads: int
+    attn_operator: Callable[..., EquivariantCrossAttention]
+    residual: bool
+    project_heads: bool
+
+    def setup(self):
+        self.layer_norm_attn = nn.LayerNorm()
+        self.attn = self.attn_operator(
+            num_hidden=self.num_hidden, num_heads=self.num_heads, project_heads=self.project_heads
+        )
+        width = self.num_hidden if self.project_heads else self.num_heads * self.num_hidden
+        self.pointwise_ffn = PointwiseFFN(num_in=width, num_hidden=width, num_out=width)
+
+    def __call__(self, x, p, a, x_h, window_size):
+        a_norm = self.layer_norm_attn(a)
+        a_attn = self.attn(x=x, p=p, a=a_norm, x_h=x_h, window_sigma=window_size)
+        if self.residual:
+            return self.pointwise_ffn(a + a_attn)
+        return self.pointwise_ffn(a_attn)
+
+
+class EnfDecoder(nn.Module):
+    """Equivariant neural field decoder ``f(x; p, a, sigma) -> field value``.
+
+    Args:
+        num_hidden: hidden width (also per-head attention width).
+        num_heads: attention heads.
+        num_layers: number of latent self-attention blocks (0 in all reference configs).
+        num_out: output field channels.
+        latent_dim: latent context dimensionality (before the stem).
+        cross_attn_invariant / self_attn_invariant: geometry invariants.
+        embedding_type / embedding_freq_multiplier / condition_value_transform /
+        use_gaussian_window: see ``EquivariantCrossAttention``.
+        backend: 'xla' or 'pallas' for the final (coordinate) cross attention.
+    """
+
+    num_hidden: int
+    num_heads: int
+    num_layers: int
+    num_out: int
+    latent_dim: int
+    cross_attn_invariant: BaseInvariant
+    self_attn_invariant: BaseInvariant
+    embedding_type: str
+    embedding_freq_multiplier: tuple
+    condition_value_transform: bool
+    use_gaussian_window: bool = True
+    backend: str = "xla"
+
+    def setup(self):
+        cross_attn = partial(
+            EquivariantCrossAttention,
+            invariant=self.cross_attn_invariant,
+            embedding_type=self.embedding_type,
+            embedding_freq_multiplier=tuple(self.embedding_freq_multiplier),
+            condition_value_transform=self.condition_value_transform,
+            condition_invariant_embedding=False,
+            use_gaussian_window=self.use_gaussian_window,
+            backend=self.backend,
+        )
+        self_attn = partial(
+            EquivariantCrossAttention,
+            invariant=self.self_attn_invariant,
+            embedding_type=self.embedding_type,
+            embedding_freq_multiplier=tuple(self.embedding_freq_multiplier),
+            condition_value_transform=self.condition_value_transform,
+            condition_invariant_embedding=False,
+            use_gaussian_window=self.use_gaussian_window,
+            backend="xla",  # z x z latent self attention is tiny; XLA handles it
+        )
+
+        self.latent_stem = nn.Dense(self.num_hidden)
+        self.self_attention_blocks = [
+            CrossAttentionBlock(
+                num_hidden=self.num_hidden,
+                num_heads=self.num_heads,
+                attn_operator=self_attn,
+                residual=True,
+                project_heads=True,
+            )
+            for _ in range(self.num_layers)
+        ]
+        self.cross_attention_block = CrossAttentionBlock(
+            num_hidden=self.num_hidden,
+            num_heads=self.num_heads,
+            attn_operator=cross_attn,
+            residual=False,
+            project_heads=False,
+        )
+        self.out_proj = nn.Sequential(
+            [nn.Dense(self.num_hidden), gelu, nn.Dense(self.num_hidden), gelu, nn.Dense(self.num_out)]
+        )
+
+    def __call__(self, x, p, a, gaussian_window):
+        """Decode field values at coordinates ``x`` from latents ``(p, a, sigma)``.
+
+        Args:
+            x: [batch, num_coords, coord_dim].
+            p: [batch, num_latents, pose_dim] (angles are embedded to the circle here).
+            a: [batch, num_latents, latent_dim].
+            gaussian_window: [batch, num_latents, 1] per-latent window size.
+
+        Returns:
+            [batch, num_coords, num_out].
+        """
+        p = embed_pose_angles(p, self.cross_attn_invariant)
+        a = self.latent_stem(a)
+        for block in self.self_attention_blocks:
+            a = a + block(p, p, a, x_h=None, window_size=gaussian_window)
+            a = gelu(a)
+        out = self.cross_attention_block(x, p, a, x_h=None, window_size=gaussian_window)
+        out = gelu(out)
+        return self.out_proj(out)
+
+
+def decode_chunked(
+    apply_fn: Callable[..., jnp.ndarray],
+    params: Any,
+    coords: jnp.ndarray,
+    p: jnp.ndarray,
+    a: jnp.ndarray,
+    window: jnp.ndarray,
+    chunk_size: int,
+) -> jnp.ndarray:
+    """Decode a large coordinate set in fixed-size tiles under one jit.
+
+    Replaces the reference's host-side Python chunk loop: coordinates are padded to a
+    multiple of ``chunk_size`` and decoded with ``lax.map`` (sequential tiles, bounded
+    memory). The coordinate axis has no cross-tile reduction (softmax is over the
+    latent axis), so tiles are embarrassingly parallel.
+
+    Args:
+        apply_fn: the decoder apply, ``apply_fn(params, x, p, a, window)``.
+        coords: [batch, num_coords, coord_dim].
+        p / a / window: latents, batch-leading.
+        chunk_size: coordinates per tile.
+
+    Returns:
+        [batch, num_coords, num_out]
+    """
+    b, n, d = coords.shape
+    num_chunks = -(-n // chunk_size)
+    pad = num_chunks * chunk_size - n
+    coords_p = jnp.pad(coords, ((0, 0), (0, pad), (0, 0)))
+    tiles = coords_p.reshape(b, num_chunks, chunk_size, d).transpose(1, 0, 2, 3)
+    out = jax.lax.map(lambda xc: apply_fn(params, xc, p, a, window), tiles)
+    out = out.transpose(1, 0, 2, 3).reshape(b, num_chunks * chunk_size, -1)
+    return out[:, :n]

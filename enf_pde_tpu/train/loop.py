@@ -1,0 +1,131 @@
+"""Epoch-level training loop: phase scheduling, validation protocol, checkpoints.
+
+Orchestration is plain Python around the jitted step functions; the measurement
+protocol (in-t / out-t rollout MSE over val *and* train loaders, dropout variants at
+5/10/50%) matches reference ``_base_pde_trainer.py:239-424``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional
+
+import jax
+import numpy as np
+
+from enf_pde_tpu.train.checkpoint import CheckpointManager
+from enf_pde_tpu.train.logging import MetricLogger
+from enf_pde_tpu.train.meta_sgd import MetaSGDTrainer
+from enf_pde_tpu.train.state import TrainState
+
+__all__ = ["TrainLoop"]
+
+
+class TrainLoop:
+    def __init__(
+        self,
+        trainer: MetaSGDTrainer,
+        train_loader: Iterable,
+        val_loader: Iterable,
+        logger: Optional[MetricLogger] = None,
+        checkpoints: Optional[CheckpointManager] = None,
+        shard_batch=None,
+    ):
+        self.trainer = trainer
+        self.cfg = trainer.cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.logger = logger or MetricLogger(self.cfg.get_path("logging.log_dir", "outputs/run"))
+        self.checkpoints = checkpoints
+        self.shard_batch = shard_batch or (lambda x: x)
+        self.global_step = 0
+
+    def _batch_traj(self, batch):
+        traj = batch[0] if isinstance(batch, (tuple, list)) else batch
+        return self.shard_batch(np.asarray(traj))
+
+    def train_epoch(self, state: TrainState, epoch: int) -> TrainState:
+        step_fn, train_nef, train_ode = self.trainer.select_train_step(epoch)
+        loss_ep, n = 0.0, 0
+        for batch in self.train_loader:
+            loss, state = step_fn(state, self._batch_traj(batch))
+            loss_ep += float(loss)
+            n += 1
+            if self.global_step % self.cfg.logging.log_every_n_steps == 0:
+                self.logger.log({"mse_step": float(loss)}, step=self.global_step)
+            self.global_step += 1
+        self.logger.log(
+            {
+                "epoch": epoch,
+                "train_mse_epoch": loss_ep / max(n, 1),
+                "phase": ("nef+ode" if train_nef and train_ode else "nef" if train_nef else "ode"),
+            },
+            step=self.global_step,
+            echo=True,
+        )
+        return state
+
+    def _eval_loader(self, state, loader, step_fn):
+        mse_in, mse_out, n = 0.0, 0.0, 0
+        for batch in loader:
+            a, b = step_fn(state, self._batch_traj(batch))
+            mse_in += float(a)
+            mse_out += float(b)
+            n += 1
+        return mse_in / max(n, 1), mse_out / max(n, 1)
+
+    def validate_epoch(self, state: TrainState, epoch: int):
+        v_in, v_out = self._eval_loader(state, self.val_loader, self.trainer.val_step)
+        t_in, t_out = self._eval_loader(state, self.train_loader, self.trainer.val_step)
+        self.logger.log(
+            {
+                "epoch": epoch,
+                "val_mse_in_t": v_in,
+                "val_mse_out_t": v_out,
+                "train_mse_in_t": t_in,
+                "train_mse_out_t": t_out,
+            },
+            step=self.global_step,
+            echo=True,
+        )
+
+    def validate_epoch_dp(self, state: TrainState, epoch: int):
+        metrics = {"epoch": epoch}
+        for dp, fn in self.trainer.val_step_dp.items():
+            tag = f"dp{int(dp * 100)}"
+            v_in, v_out = self._eval_loader(state, self.val_loader, fn)
+            t_in, t_out = self._eval_loader(state, self.train_loader, fn)
+            metrics.update(
+                {
+                    f"val_mse_in_t_{tag}": v_in,
+                    f"val_mse_out_t_{tag}": v_out,
+                    f"train_mse_in_t_{tag}": t_in,
+                    f"train_mse_out_t_{tag}": t_out,
+                }
+            )
+        self.logger.log(metrics, step=self.global_step, echo=True)
+
+    def run(self, num_epochs: int, state: Optional[TrainState] = None) -> TrainState:
+        if state is None:
+            state = self.trainer.init_state()
+        start_epoch = 1
+        if self.checkpoints is not None and self.cfg.get_path("logging.resume", False):
+            latest = self.checkpoints.latest_epoch()
+            if latest is not None:
+                state = self.checkpoints.restore(state)
+                start_epoch = latest + 1
+                print(f"[loop] resumed from epoch {latest}")
+
+        t_start = time.time()
+        for epoch in range(start_epoch, num_epochs + 1):
+            state = self.train_epoch(state, epoch)
+            if self.checkpoints is not None:
+                self.checkpoints.save(epoch, state, self.cfg.to_dict())
+            if epoch % self.cfg.test.test_interval == 0:
+                self.validate_epoch(state, epoch)
+            if epoch % self.cfg.test.test_dp_interval == 0:
+                self.validate_epoch_dp(state, epoch)
+        self.logger.log({"train_wall_s": time.time() - t_start}, step=self.global_step)
+        if self.checkpoints is not None:
+            self.checkpoints.wait()
+        return state
