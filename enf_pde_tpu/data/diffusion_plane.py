@@ -5,11 +5,11 @@ source of random magnitude is inserted at a random location (upper half-plane fo
 train, lower half-plane for test — an OOD initial-condition split), diffused with
 ``dt(u) = D lap(u)``, recorded every 0.5 time units; frames 7..26 are kept.
 
-Here the solution is computed *exactly* with the free-space heat kernel: the py-pde
-``insert`` seeds a single grid cell with ``value / cell_area``, and diffusion of a
-point source is a Gaussian of variance ``2 D t``; on a bounded domain with the source
-well inside and D t << domain size, boundary effects are negligible over the recorded
-horizon (checked in tests against an FD integrator).
+Here the solution is computed analytically with the heat kernel plus first-order
+method-of-images reflections for the no-flux boundaries: the py-pde ``insert`` seeds a
+single grid cell with ``value / cell_area``, and diffusion of that cell source is a
+separable product of error-function differences (checked in tests against an FD
+integrator; in-domain heat is conserved to <1%).
 """
 
 from __future__ import annotations
@@ -61,11 +61,17 @@ def diffusion_frames(
     centers, cell = _grid(size)
 
     def cell_kernel_1d(c0, t):
-        # Integral of the 1D heat kernel over the source cell [c0 - cell/2, c0 + cell/2].
+        # Integral of the 1D heat kernel over the source cell [c0 - cell/2, c0 + cell/2],
+        # with first-order method-of-images reflections enforcing the no-flux
+        # boundaries at +-3 (py-pde's default Neumann BC conserves heat in-domain).
         s = jnp.sqrt(4 * _D * t)
-        a = (centers - (c0 - cell / 2)) / s
-        b = (centers - (c0 + cell / 2)) / s
-        return 0.5 * (jax.scipy.special.erf(a) - jax.scipy.special.erf(b))
+
+        def k(center):
+            a = (centers - (center - cell / 2)) / s
+            b = (centers - (center + cell / 2)) / s
+            return 0.5 * (jax.scipy.special.erf(a) - jax.scipy.special.erf(b))
+
+        return k(c0) + k(2 * _HI - c0) + k(2 * _LO - c0)
 
     # Snap source to its grid cell center (py-pde inserts into the nearest cell).
     ix = jnp.clip(jnp.floor((x0 - _LO) / cell), 0, size - 1)

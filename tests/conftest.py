@@ -13,5 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-register a TPU platform via sitecustomize before this
+# conftest runs; the config update wins as long as no backend has been created yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", f"tests must run on CPU, got {jax.devices()}"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for sharding tests"

@@ -108,7 +108,9 @@ def test_solver_harmonic_oscillator_accuracy():
 
     x0 = jnp.array([1.0, 0.0])
     traj = solve_ode(f, x0, 0.0, 2 * np.pi, 0.01, method="rk4")
-    np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(x0), atol=1e-5)
+    t_final = (traj.shape[0] - 1) * 0.01
+    analytic = np.array([np.cos(t_final), -np.sin(t_final)])
+    np.testing.assert_allclose(np.asarray(traj[-1]), analytic, atol=1e-5)
     energy = traj[:, 0] ** 2 + traj[:, 1] ** 2
     np.testing.assert_allclose(np.asarray(energy), 1.0, atol=1e-5)
 
