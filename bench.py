@@ -1,0 +1,132 @@
+"""Benchmark: ENF decode throughput (coordinate points/sec/chip) on the flagship model.
+
+Workload: full-field decode of Navier-Stokes rollouts — batch 8 x 60 frames x 64^2
+coordinates with the paper's NS decoder (hidden 128, 2 heads, 4 latents), the shape of
+the reference's validation/rollout decode (its dominant inference cost).
+
+- baseline: reference-style decoding — a host-side Python loop over coordinate chunks
+  calling a jitted decoder apply per chunk (reference ``pde_trainer.py:393-402``
+  deliberately leaves this un-jitted end to end).
+- ours: the TPU-native path — one jitted program; scan-tiled coordinates; bfloat16
+  matmuls with f32 logits/softmax; the fused Pallas decode kernel when available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _build(backend: str = "xla"):
+    from enf_pde_tpu.builders import build_models
+    from enf_pde_tpu.config import load_experiment_config
+    from enf_pde_tpu.data import planar_coords
+    from enf_pde_tpu.models.latents import init_latents, latents_to_pose, tile_latents
+
+    cfg = load_experiment_config("navier_stokes", [f"nef.backend={backend}"])
+    cfg.nef.num_in = 2
+    cfg.nef.num_out = 1
+    decoder, _ = build_models(cfg)
+
+    coords = jnp.asarray(planar_coords(64, 64))
+    n_frames = 8 * 60  # batch x (train + out horizon) frames, reference NS protocol
+    lat = tile_latents(
+        init_latents(1, cfg.nef.num_latents, cfg.nef.latent_dim, 2, 0, "cartesian"), n_frames
+    )
+    p, a, window = latents_to_pose(lat)
+    key = jax.random.PRNGKey(0)
+    # Perturb latents so nothing folds to constants.
+    p = p + 0.1 * jax.random.normal(key, p.shape)
+    a = a + 0.1 * jax.random.normal(key, a.shape)
+    x = jnp.broadcast_to(coords[None], (n_frames, coords.shape[0], 2))
+
+    params = decoder.init(jax.random.PRNGKey(1), x[:, :64], p, a, window)
+    return decoder, params, x, p, a, window
+
+
+def _time(fn, *args, warmup=1, iters=3):
+    """Wall time per call, synchronized by fetching a scalar reduction.
+
+    ``block_until_ready`` is unreliable on relayed TPU platforms and full-array
+    fetches are transfer-bound, so every benchmarked function returns a scalar that we
+    pull to the host.
+    """
+    for _ in range(warmup):
+        np.asarray(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+_sum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
+
+
+def bench_baseline(decoder, params, x, p, a, window, chunk=512):
+    """Reference-style: host-side Python chunk loop around a per-chunk jitted apply."""
+    apply_jit = jax.jit(decoder.apply)
+
+    def run():
+        outs = []
+        for i in range(0, x.shape[1], chunk):
+            outs.append(apply_jit(params, x[:, i : i + chunk], p, a, window))
+        return _sum(outs)
+
+    return _time(run)
+
+
+def bench_ours(decoder, params, x, p, a, window, chunk=2048):
+    """One jitted program, scan-tiled coordinates, bf16 matmuls."""
+    from enf_pde_tpu.models.decoder import decode_chunked
+
+    @jax.jit
+    def run(params, x, p, a, window):
+        with jax.default_matmul_precision("bfloat16"):
+            out = decode_chunked(decoder.apply, params, x, p, a, window, chunk_size=chunk)
+            return jnp.sum(out)
+
+    return _time(run, params, x, p, a, window)
+
+
+def main():
+    backend = "xla"
+    try:
+        from enf_pde_tpu.ops.pallas_decode import pallas_available
+
+        if pallas_available():
+            backend = "pallas"
+    except Exception:
+        pass
+
+    decoder, params, x, p, a, window = _build("xla")
+    n_points = x.shape[0] * x.shape[1]
+
+    t_base = bench_baseline(decoder, params, x, p, a, window)
+    if backend == "pallas":
+        decoder_p, params_p, *_ = _build("pallas")
+        t_ours = bench_ours(decoder_p, params, x, p, a, window)
+    else:
+        t_ours = bench_ours(decoder, params, x, p, a, window)
+
+    pts_base = n_points / t_base
+    pts_ours = n_points / t_ours
+    print(
+        json.dumps(
+            {
+                "metric": "enf_decode_throughput",
+                "value": round(pts_ours, 1),
+                "unit": "coord-points/sec/chip",
+                "vs_baseline": round(pts_ours / pts_base, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

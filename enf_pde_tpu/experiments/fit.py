@@ -1,0 +1,164 @@
+"""Unified experiment entry point: ``python -m enf_pde_tpu.experiments.fit <config> [k=v ...]``.
+
+Replaces the reference's per-experiment ``fit_*.py`` scripts with one CLI:
+
+    python -m enf_pde_tpu.experiments.fit navier_stokes
+    python -m enf_pde_tpu.experiments.fit navier_stokes nef.invariant_type=abs_pos seed=1
+    python -m enf_pde_tpu.experiments.fit shallow_water            # + super-res eval
+    python -m enf_pde_tpu.experiments.fit navier_stokes_nonmaml    # autodecoding
+
+Like the reference entry points, input/output dimensionality and the coordinate grid
+are derived from a probe batch. The shallow-water run performs the zero-shot
+super-resolution evaluation on the full-resolution grid after training
+(reference ``fit_shallow_water.py:63-90``).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import numpy as np
+
+from enf_pde_tpu.builders import build_models
+from enf_pde_tpu.config import Config, load_experiment_config
+from enf_pde_tpu.data import get_dataloader
+from enf_pde_tpu.parallel import make_mesh, shard_batch
+from enf_pde_tpu.train.autodecode import AutodecodingTrainer
+from enf_pde_tpu.train.checkpoint import CheckpointManager
+from enf_pde_tpu.train.logging import MetricLogger
+from enf_pde_tpu.train.loop import TrainLoop
+from enf_pde_tpu.train.meta_sgd import MetaSGDTrainer
+
+__all__ = ["run_experiment", "prepare"]
+
+
+def prepare(cfg: Config):
+    """Build loaders, coords, and models; fill in data-derived config fields."""
+    train_loader, test_loader = get_dataloader(cfg.dataset)
+    probe = next(iter(train_loader))
+    frame = probe[0][0]
+    cfg.dataset.image_shape = list(frame.shape)
+    coords = train_loader.coords
+    cfg.nef.num_in = int(coords.shape[-1])
+    cfg.nef.num_out = int(frame.shape[-1])
+    decoder, ode_model = build_models(cfg)
+    return train_loader, test_loader, coords, decoder, ode_model
+
+
+def run_experiment(cfg: Config):
+    train_loader, test_loader, coords, decoder, ode_model = prepare(cfg)
+    logger = MetricLogger(
+        cfg.logging.log_dir,
+        use_wandb=cfg.get_path("logging.use_wandb", False),
+        wandb_kwargs={"project": cfg.get_path("proj_name", "enf-pde-tpu"), "config": cfg.to_dict()},
+    )
+    ckpt = (
+        CheckpointManager(
+            cfg.logging.log_dir,
+            every_n_epochs=cfg.logging.checkpoint_every_n_epochs,
+            keep_n=cfg.logging.keep_n_checkpoints,
+        )
+        if cfg.logging.checkpoint
+        else None
+    )
+
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    shard = (lambda b: shard_batch(b, mesh)) if mesh is not None else None
+
+    if cfg.get_path("meta.meta_sgd", True):
+        trainer = MetaSGDTrainer(cfg, decoder, ode_model, coords, seed=cfg.seed)
+        loop = TrainLoop(trainer, train_loader, test_loader, logger, ckpt, shard_batch=shard)
+        state = loop.run(cfg.training.num_epochs)
+
+        if cfg.dataset.name == "shallow_water_low_res":
+            _super_resolution_eval(cfg, state, decoder, ode_model, logger)
+        return state
+
+    return _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader, logger)
+
+
+def _super_resolution_eval(cfg, state, decoder, ode_model, logger):
+    """Zero-shot super-resolution: validate the half-res-trained model at full res."""
+    hi_cfg = cfg.copy()
+    hi_cfg.dataset.name = "shallow_water"
+    hi_train, hi_test = get_dataloader(hi_cfg.dataset)
+    hi_trainer = MetaSGDTrainer(hi_cfg, decoder, ode_model, hi_train.coords, seed=cfg.seed)
+    mse_in, mse_out, n = 0.0, 0.0, 0
+    for batch in hi_test:
+        a, b = hi_trainer.val_step(state, np.asarray(batch[0]))
+        mse_in += float(a)
+        mse_out += float(b)
+        n += 1
+    logger.log(
+        {"superres_mse_in_t": mse_in / max(n, 1), "superres_mse_out_t": mse_out / max(n, 1)},
+        echo=True,
+    )
+
+
+def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader, logger):
+    """Non-meta training loop (reference ``nonmaml_pde_trainer.py`` semantics)."""
+    import jax.numpy as jnp
+
+    trainer = AutodecodingTrainer(cfg, decoder, ode_model, coords, seed=cfg.seed)
+    state = trainer.init_state()
+    t = cfg.training
+    global_step = 0
+    for epoch in range(1, cfg.training.num_epochs + 1):
+        train_nef = t.nef.train_from_epoch < epoch <= t.nef.train_until_epoch
+        train_ode = t.ode.train_from_epoch < epoch <= t.ode.train_until_epoch
+        loss_ep, n = 0.0, 0
+        for traj, _, idx in train_loader:
+            traj, idx = jnp.asarray(traj), jnp.asarray(idx)
+            if train_nef:
+                loss, state = trainer.nef_train_step(state, traj, idx)
+            elif train_ode:
+                loss, state = trainer.ode_train_step(state, traj, idx)
+            else:
+                continue
+            loss_ep += float(loss)
+            n += 1
+            if global_step % cfg.logging.log_every_n_steps == 0:
+                logger.log({"mse_step": float(loss)}, step=global_step)
+            global_step += 1
+        logger.log({"epoch": epoch, "train_mse_epoch": loss_ep / max(n, 1)}, echo=True)
+
+        if epoch % cfg.test.test_interval == 0:
+            _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, epoch)
+    _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, "final")
+    return state
+
+
+def _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, epoch):
+    """Re-fit fresh val latents per dropout rate, then measure rollout MSE."""
+    import jax.numpy as jnp
+
+    metrics = {"epoch": epoch} if isinstance(epoch, int) else {}
+    refit_epochs = min(cfg.training.nef.train_until_epoch, cfg.get_path("test.refit_epochs", 100))
+    for dp in (0.0, 0.05, 0.1, 0.5):
+        val_state = trainer.refit_latents(state, test_loader, num_epochs=refit_epochs, dp=dp)
+        mse_in, mse_out, n = 0.0, 0.0, 0
+        for traj, _, idx in test_loader:
+            a, b = trainer.val_step(val_state, jnp.asarray(traj), jnp.asarray(idx))
+            mse_in += float(a)
+            mse_out += float(b)
+            n += 1
+        tag = "" if dp == 0 else f"_dp{dp}"
+        metrics[f"val_mse_in_t{tag}"] = mse_in / max(n, 1)
+        metrics[f"val_mse_out_t{tag}"] = mse_out / max(n, 1)
+    logger.log(metrics, echo=True)
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(1)
+    name, overrides = sys.argv[1], sys.argv[2:]
+    cfg = load_experiment_config(name, overrides)
+    os.makedirs(cfg.logging.log_dir, exist_ok=True)
+    run_experiment(cfg)
+
+
+if __name__ == "__main__":
+    main()

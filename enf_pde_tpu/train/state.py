@@ -42,13 +42,12 @@ def make_optimizers(cfg) -> Optimizers:
     ``learning_rate_enf`` for both), Adam for per-signal codes and for the learned
     per-parameter inner-loop learning rates.
     """
+    lr_enf = float(cfg.optimizer.learning_rate_enf)
+    lr_codes = float(cfg.optimizer.learning_rate_codes)
+    lr_meta = float(cfg.get_path("meta.learning_rate_meta_sgd", 1e-4))
     return Optimizers(
-        nef=optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adamw(cfg.optimizer.learning_rate_enf)
-        ),
-        autodecoder=optax.adam(cfg.optimizer.learning_rate_codes),
-        ode=optax.chain(
-            optax.clip_by_global_norm(1.0), optax.adamw(cfg.optimizer.learning_rate_enf)
-        ),
-        meta_sgd=optax.adam(cfg.get_path("meta.learning_rate_meta_sgd", 1e-4)),
+        nef=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr_enf)),
+        autodecoder=optax.adam(lr_codes),
+        ode=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr_enf)),
+        meta_sgd=optax.adam(lr_meta),
     )
