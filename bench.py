@@ -109,8 +109,14 @@ def main():
 
     t_base = bench_baseline(decoder, params, x, p, a, window)
     if backend == "pallas":
-        decoder_p, params_p, *_ = _build("pallas")
-        t_ours = bench_ours(decoder_p, params, x, p, a, window)
+        decoder_p, *_ = _build("pallas")
+
+        @jax.jit
+        def run_pallas(params, x, p, a, window):
+            # The fused kernel tiles the coordinate axis internally.
+            return jnp.sum(decoder_p.apply(params, x, p, a, window))
+
+        t_ours = _time(run_pallas, params, x, p, a, window)
     else:
         t_ours = bench_ours(decoder, params, x, p, a, window)
 

@@ -1,0 +1,180 @@
+"""Internally heated ball dataset (reduced-order stand-in for the IHC experiment).
+
+The reference simulates internally heated *convection* in the unit ball with Dedalus
+(Rayleigh 1e6, CFL-adaptive SBDF2; ``pdes.py:738-846``) — a Navier-Stokes + buoyancy
+solve we do not reproduce here. This module generates the *conductive* limit of the
+same setup exactly, as a documented reduced-order substitute that exercises the full
+ball geometry pipeline (SO(3) ball invariants, 48x24x24 grids, ~27k coordinates):
+
+- same temperature IC protocol: low-passed random noise + the equilibrium profile
+  ``1 - r^2`` (which balances the internal source ``kappa * T_source`` with
+  ``T_source = 6`` under the flux boundary condition ``dT/dr(1) = -2``),
+- the perturbation ``u = T - (1 - r^2)`` then obeys the pure heat equation with a
+  homogeneous Neumann boundary; it is diagonal in the basis
+  ``Y_lm(theta, phi) * j_l(lambda_{l,n} r)`` with ``j_l'(lambda) = 0``, so frames are
+  computed exactly from the IC's modal projection.
+
+Replace with a spectral ball convection solver for full physics parity (TODO noted in
+README).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+from scipy.optimize import brentq
+from scipy.special import spherical_jn
+
+from enf_pde_tpu.data.sphere_harmonics import legendre_table
+
+__all__ = ["BallModes", "generate_ihc_trajectories", "get_ihc_loaders"]
+
+_KAPPA = 1e-3  # (Rayleigh * Prandtl)^(-1/2) at Ra = 1e6, Pr = 1
+
+
+def _neumann_bessel_roots(l: int, num: int) -> np.ndarray:
+    """First ``num`` positive roots of d/dx j_l(x) = 0."""
+    roots = []
+    x = 1e-3 if l == 0 else 0.5
+    prev = spherical_jn(l, x, derivative=True)
+    step = 0.01
+    while len(roots) < num:
+        x2 = x + step
+        cur = spherical_jn(l, x2, derivative=True)
+        if prev * cur < 0:
+            roots.append(brentq(lambda t: spherical_jn(l, t, derivative=True), x, x2))
+        x, prev = x2, cur
+        if x > 400:
+            raise RuntimeError("Bessel root search ran away")
+    return np.asarray(roots)
+
+
+class BallModes:
+    """Neumann heat-kernel eigenbasis of the unit ball on a (phi, theta, r) grid."""
+
+    def __init__(self, nphi: int = 48, ntheta: int = 24, nr: int = 24, lmax: int = 12, nmax: int = 8):
+        self.nphi, self.ntheta, self.nr = nphi, ntheta, nr
+        self.lmax, self.nmax = lmax, nmax
+        self.mmax = min(lmax, nphi // 2)
+        # Output angular grid matches the reference entry point (fit_ihc.py:33-37):
+        # uniform phi, uniform theta in (0, pi) — synthesis needs no quadrature, so
+        # the Legendre table is evaluated directly at these thetas.
+        self.phi = np.linspace(0, 2 * np.pi, nphi, endpoint=False)
+        self.theta = np.linspace(1e-3, np.pi, ntheta, endpoint=False)
+        P = legendre_table(lmax, np.cos(self.theta))
+        self._P_out = P[:, : self.mmax + 1, :]  # [L, M, ntheta]
+
+        # Radial Gauss-Legendre quadrature on [0, 1] (weight r^2 dr).
+        nodes, weights = np.polynomial.legendre.leggauss(64)
+        self.rq = 0.5 * (nodes + 1.0)
+        self.wq = 0.5 * weights
+
+        # Output radial grid matches the reference entry point: linspace(0, 1, nr).
+        self.r_out = np.linspace(0, 1, nr)
+
+        # Radial modes j_l(lambda_{l,n} r), Neumann at r=1, L2(r^2 dr)-normalized.
+        self.lam = np.zeros((lmax + 1, nmax))
+        self.radial_q = np.zeros((lmax + 1, nmax, len(self.rq)))  # at quadrature nodes
+        self.radial_out = np.zeros((lmax + 1, nmax, nr))  # at output radii
+        for l in range(lmax + 1):
+            lams = _neumann_bessel_roots(l, nmax)
+            self.lam[l] = lams
+            for n, lam in enumerate(lams):
+                fq = spherical_jn(l, lam * self.rq)
+                norm = np.sqrt(np.sum(self.wq * fq**2 * self.rq**2))
+                self.radial_q[l, n] = fq / norm
+                self.radial_out[l, n] = spherical_jn(l, lam * self.r_out) / norm
+
+    def sample_ic_coeffs(self, seed: int, scale: float = 0.1) -> np.ndarray:
+        """Random modal coefficients for the low-passed noise IC.
+
+        The reference fills grid noise and low-pass filters to half resolution
+        (``pdes.py:814-815``); sampling band-limited modal coefficients directly is
+        the spectral equivalent.
+        """
+        rng = np.random.RandomState(seed % (2**31 - 1))
+        L, M, N = self.lmax + 1, self.mmax + 1, self.nmax
+        coeffs = (rng.randn(L, M, N) + 1j * rng.randn(L, M, N)) * scale
+        ls = np.arange(L)[:, None, None]
+        ms = np.arange(M)[None, :, None]
+        coeffs = np.where(ls >= ms, coeffs, 0.0)
+        coeffs[:, 0] = coeffs[:, 0].real  # m = 0 modes are real
+        # Taper the spectrum so the field is smooth at grid scale.
+        taper = np.exp(-0.5 * (ls / (L / 2)) ** 2) * np.exp(
+            -0.5 * (np.arange(N)[None, None, :] / (N / 2)) ** 2
+        )
+        return coeffs * taper
+
+    def frames(self, coeffs: np.ndarray, times: np.ndarray) -> np.ndarray:
+        """Exact heat-equation frames [T, nphi, ntheta, nr] for modal IC ``coeffs``."""
+        decay = np.exp(-_KAPPA * (self.lam[:, None, :] ** 2)[None] * times[:, None, None, None])
+        # [T, L, M, N] -> contract radial modes -> [T, L, M, nr]
+        ct = coeffs[None] * decay
+        field_lm_r = np.einsum("tlmn,lnr->tlmr", ct, self.radial_out)
+        # SH synthesis per radius onto the uniform-theta output grid.
+        g_m = np.einsum("lmj,tlmr->trmj", self._P_out, field_lm_r)  # [T, nr, M, ntheta]
+        pad = self.nphi // 2 + 1 - (self.mmax + 1)
+        if pad > 0:
+            g_m = np.pad(g_m, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        grid = np.fft.irfft(g_m * self.nphi, n=self.nphi, axis=-2)  # [T, nr, nphi, ntheta]
+        pert = np.moveaxis(grid, 1, -1)  # [T, nphi, ntheta, nr]
+        equilibrium = (1.0 - self.r_out**2)[None, None, None, :]
+        return pert + equilibrium
+
+
+def generate_ihc_trajectories(
+    seeds: np.ndarray, modes: BallModes | None = None, num_frames: int = 20
+) -> np.ndarray:
+    """Trajectories [num, num_frames, 48, 24, 24, 1].
+
+    Frame cadence mirrors the reference recorder (every 10 adaptive steps of ~0.02
+    time units after a transient of 10 records): frames at ``t = 2.0 + 0.2 k``.
+    """
+    modes = modes or BallModes()
+    times = 2.0 + 0.2 * np.arange(num_frames)
+    out = []
+    for s in seeds:
+        coeffs = modes.sample_ic_coeffs(int(s))
+        frames = modes.frames(coeffs, times)
+        out.append(frames.astype(np.float32)[..., None])
+    return np.stack(out)
+
+
+def get_ihc_loaders(dataset_cfg):
+    from enf_pde_tpu.data import ball_coords
+    from enf_pde_tpu.data.cache import TrajectoryCache, test_seed
+    from enf_pde_tpu.data.loader import TrajectoryLoader
+
+    modes = BallModes()
+
+    def gen_train(ids):
+        return generate_ihc_trajectories(ids, modes)
+
+    def gen_test(ids):
+        return generate_ihc_trajectories(np.asarray([test_seed(i) for i in ids]), modes)
+
+    root = os.path.join(dataset_cfg.path, "ihc")
+    cache_tr = TrajectoryCache(os.path.join(root, "train"), gen_train, batch_size_gen=8)
+    cache_ts = TrajectoryCache(os.path.join(root, "test"), gen_test, batch_size_gen=8)
+
+    coords = ball_coords(48, 24, 24)
+    # The reference skips the first 6 frames of each trajectory (pdes.py:840-846).
+    fetch_tr = lambda i: cache_tr.get(i)[6:]
+    fetch_ts = lambda i: cache_ts.get(i)[6:]
+    train = TrajectoryLoader(
+        fetch_tr,
+        indices=range(dataset_cfg.num_signals_train),
+        coords=coords,
+        batch_size=dataset_cfg.batch_size,
+        shuffle=True,
+    )
+    test = TrajectoryLoader(
+        fetch_ts,
+        indices=range(dataset_cfg.num_signals_test),
+        coords=coords,
+        batch_size=dataset_cfg.batch_size,
+        shuffle=False,
+    )
+    return train, test

@@ -67,11 +67,36 @@ class SphereGrid:
         self.theta = np.arccos(self.x)
         self.phi = 2 * np.pi * np.arange(nphi) / nphi
 
-        P = legendre_table(self.lmax, self.x)  # [L, M, J]
+        # Compute one extra degree so the theta-derivative recurrence has P_{l+1}.
+        P_ext = legendre_table(self.lmax + 1, self.x)  # [L+2, M+2, J]
+        P = P_ext[: self.lmax + 1]
         self._P = jnp.asarray(P[:, : self.mmax + 1, :])  # [L, M, J]
         self._Pw = jnp.asarray(P[:, : self.mmax + 1, :] * self.w[None, None, :])
+
+        # d Pbar_l^m / d theta via the normalized recurrence
+        #   sin(theta) dP_l^m/dtheta = l eps_{l+1}^m P_{l+1}^m - (l+1) eps_l^m P_{l-1}^m,
+        # eps_l^m = sqrt((l^2 - m^2) / (4 l^2 - 1)) (verified against finite
+        # differences in tests).
+        L1 = self.lmax + 2
+        ls_f = np.arange(L1, dtype=np.float64)[:, None]
+        ms_f = np.arange(L1, dtype=np.float64)[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            eps = np.sqrt(
+                np.maximum(ls_f**2 - ms_f**2, 0.0) / np.maximum(4.0 * ls_f**2 - 1.0, 1e-300)
+            )
+        sin_t = np.sqrt(1.0 - self.x**2)
+        H = np.zeros((self.lmax + 1, self.lmax + 1, ntheta))
+        for m in range(self.lmax + 1):
+            for l in range(m, self.lmax + 1):
+                up = l * eps[l + 1, m] * P_ext[l + 1, m]
+                down = (l + 1) * eps[l, m] * (P_ext[l - 1, m] if l >= 1 else 0.0)
+                H[l, m] = (up - down) / sin_t
+        self._H = jnp.asarray(H[:, : self.mmax + 1, :])
+
+        self.sin_theta = jnp.asarray(sin_t)
         ls = np.arange(self.lmax + 1)
         self.l_values = jnp.asarray(ls)
+        self.m_values = jnp.asarray(np.arange(self.mmax + 1))
         self.laplacian_eig = jnp.asarray(-ls * (ls + 1.0))  # on the unit sphere
 
     # -- transforms --------------------------------------------------------
@@ -94,6 +119,30 @@ class SphereGrid:
         if pad > 0:
             g_m = jnp.pad(g_m, [(0, 0)] * (g_m.ndim - 2) + [(0, pad), (0, 0)])
         return jnp.fft.irfft(g_m * self.nphi, n=self.nphi, axis=-2)
+
+    def synthesis_dtheta(self, flm: jnp.ndarray) -> jnp.ndarray:
+        """Colatitude derivative: coefficients -> d(field)/d(theta) on the grid."""
+        g_m = jnp.einsum("lmj,...lm->...mj", self._H, flm)
+        pad = self.nphi // 2 + 1 - (self.mmax + 1)
+        if pad > 0:
+            g_m = jnp.pad(g_m, [(0, 0)] * (g_m.ndim - 2) + [(0, pad), (0, 0)])
+        return jnp.fft.irfft(g_m * self.nphi, n=self.nphi, axis=-2)
+
+    def analysis_dtheta_flux(self, a: jnp.ndarray) -> jnp.ndarray:
+        """SH coefficients of ``(1/sin t) d(a sin t)/dt`` via integration by parts.
+
+        ``< (1/sin t) d(a sin t)/dt, Y*_lm > = - < a, dY*_lm/dt >`` (the boundary term
+        vanishes at the poles), so this is an analysis with the theta-derivative table
+        in place of the Legendre table. Used by spherical div/curl operators.
+        """
+        c_m = jnp.fft.rfft(a, axis=-2) / self.nphi
+        c_m = c_m[..., : self.mmax + 1, :]
+        Hw = self._H * jnp.asarray(self.w)[None, None, :]
+        return -2 * jnp.pi * jnp.einsum("lmj,...mj->...lm", Hw, c_m)
+
+    def dphi_coeffs(self, flm: jnp.ndarray) -> jnp.ndarray:
+        """Longitude derivative in spectral space: multiply by i m."""
+        return flm * (1j * self.m_values)
 
     def filter_lowpass(self, f: jnp.ndarray, lcut: int) -> jnp.ndarray:
         """Zero all SH modes with l > lcut."""

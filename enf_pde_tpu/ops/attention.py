@@ -131,6 +131,9 @@ class EquivariantCrossAttention(nn.Module):
         """
         H, D = self.num_heads, self.num_hidden
 
+        if self._use_pallas():
+            return self._call_pallas(x, p, a, window_sigma)
+
         inv = self.invariant(x, p)  # [b, c, z, inv_dim]
         q = self.inv_emb_to_q(self.invariant_embedding_query(inv))  # [b, c, z, H*D]
         k = self.a_to_k(a)  # [b, z, H*D]
@@ -161,4 +164,50 @@ class EquivariantCrossAttention(nn.Module):
 
         y = (att[..., None] * v).sum(axis=2)  # 'bczh,bczhd->bchd'
         y = y.reshape(*y.shape[:2], H * D)
+        return self.out_proj(y)
+
+    # ------------------------------------------------------------------ pallas path
+
+    def _use_pallas(self) -> bool:
+        """The fused kernel covers the decode configuration used by all experiments."""
+        return (
+            self.backend in ("pallas", "pallas_interpret")
+            and not self.is_initializing()  # params must exist to be extracted
+            and self.condition_value_transform
+            and not self.condition_invariant_embedding
+            and self.embedding_type == "rff"
+        )
+
+    def _call_pallas(self, x, p, a, window_sigma):
+        from enf_pde_tpu.ops.pallas_decode import extract_attention_weights, fused_enf_decode
+
+        inv = self.invariant(x, p)
+        if self.use_gaussian_window:
+            wb = self.invariant.gaussian_window(x, p, sigma=window_sigma)[..., 0]
+        else:
+            wb = jnp.zeros(inv.shape[:3], dtype=inv.dtype)
+        k = self.a_to_k(a)
+        v = self.a_to_v(a)
+        weights = extract_attention_weights(
+            {
+                "invariant_embedding_query": self.invariant_embedding_query.variables["params"],
+                "invariant_embedding_value": self.invariant_embedding_value.variables["params"],
+                "inv_emb_to_q": self.inv_emb_to_q.variables["params"],
+                "inv_emb_to_v": self.inv_emb_to_v.variables["params"],
+                "inv_emb_cond_mixer": self.inv_emb_cond_mixer.variables["params"],
+            }
+        )
+        interpret = self.backend == "pallas_interpret"
+        y = fused_enf_decode(
+            inv,
+            wb,
+            k,
+            v,
+            weights,
+            num_heads=self.num_heads,
+            head_dim=self.num_hidden,
+            interpret=interpret,
+            # Strict f32 in interpreter parity tests; bf16 MXU operands on hardware.
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
+        )
         return self.out_proj(y)
