@@ -37,10 +37,18 @@ class TrajectoryCache:
         root: str,
         generate_batch: Callable[[np.ndarray], np.ndarray],
         batch_size_gen: int = 32,
+        subprocess_fallback: tuple | None = None,
     ):
+        """``subprocess_fallback``: optional ``(dataset_name, group, path_root,
+        dataset_cfg_json)``; when in-process generation fails with a backend error
+        (e.g. an accelerator missing complex FFT), generation re-runs in a CPU
+        subprocess via ``enf_pde_tpu.data.generate``.
+        """
         self.root = root
         self.generate_batch = generate_batch
         self.batch_size_gen = batch_size_gen
+        self.subprocess_fallback = subprocess_fallback
+        self._force_subprocess = False
         os.makedirs(root, exist_ok=True)
         self._mem: dict[int, np.ndarray] = {}
 
@@ -64,11 +72,40 @@ class TrajectoryCache:
         missing = [i for i in ids if not os.path.exists(self._path(i))]
         if not missing:
             return
-        block = self.generate_batch(np.asarray(missing))
+        if self._force_subprocess:
+            self._generate_subprocess(missing)
+            return
+        try:
+            block = self.generate_batch(np.asarray(missing))
+        except Exception as e:
+            if self.subprocess_fallback is None:
+                raise
+            print(f"[cache] in-process generation failed ({type(e).__name__}); "
+                  f"falling back to CPU subprocess")
+            self._force_subprocess = True
+            self._generate_subprocess(missing)
+            return
         for i, traj in zip(missing, block):
             tmp = self._path(i) + ".tmp.npz"
             np.savez_compressed(tmp, data=np.asarray(traj, dtype=np.float32))
             os.replace(tmp, self._path(i))
+
+    def _generate_subprocess(self, ids):
+        import subprocess
+        import sys
+
+        name, group, path_root, cfg_json = self.subprocess_fallback
+        env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+        cmd = [
+            sys.executable, "-m", "enf_pde_tpu.data.generate",
+            name, "--group", group, "--path", path_root,
+            "--ids", ",".join(str(int(i)) for i in ids),
+            "--dataset-cfg", cfg_json,
+        ]
+        subprocess.run(cmd, check=True, env=env)
+        still_missing = [i for i in ids if not os.path.exists(self._path(i))]
+        if still_missing:
+            raise RuntimeError(f"subprocess generation left trajectories missing: {still_missing}")
 
     def ensure(self, ids: Sequence[int]):
         for i in ids:

@@ -29,7 +29,7 @@ from scipy.special import spherical_jn
 
 from enf_pde_tpu.data.sphere_harmonics import legendre_table
 
-__all__ = ["BallModes", "generate_ihc_trajectories", "get_ihc_loaders"]
+__all__ = ["BallModes", "generate_ihc_trajectories"]
 
 _KAPPA = 1e-3  # (Rayleigh * Prandtl)^(-1/2) at Ra = 1e6, Pr = 1
 
@@ -142,39 +142,3 @@ def generate_ihc_trajectories(
     return np.stack(out)
 
 
-def get_ihc_loaders(dataset_cfg):
-    from enf_pde_tpu.data import ball_coords
-    from enf_pde_tpu.data.cache import TrajectoryCache, test_seed
-    from enf_pde_tpu.data.loader import TrajectoryLoader
-
-    modes = BallModes()
-
-    def gen_train(ids):
-        return generate_ihc_trajectories(ids, modes)
-
-    def gen_test(ids):
-        return generate_ihc_trajectories(np.asarray([test_seed(i) for i in ids]), modes)
-
-    root = os.path.join(dataset_cfg.path, "ihc")
-    cache_tr = TrajectoryCache(os.path.join(root, "train"), gen_train, batch_size_gen=8)
-    cache_ts = TrajectoryCache(os.path.join(root, "test"), gen_test, batch_size_gen=8)
-
-    coords = ball_coords(48, 24, 24)
-    # The reference skips the first 6 frames of each trajectory (pdes.py:840-846).
-    fetch_tr = lambda i: cache_tr.get(i)[6:]
-    fetch_ts = lambda i: cache_ts.get(i)[6:]
-    train = TrajectoryLoader(
-        fetch_tr,
-        indices=range(dataset_cfg.num_signals_train),
-        coords=coords,
-        batch_size=dataset_cfg.batch_size,
-        shuffle=True,
-    )
-    test = TrajectoryLoader(
-        fetch_ts,
-        indices=range(dataset_cfg.num_signals_test),
-        coords=coords,
-        batch_size=dataset_cfg.batch_size,
-        shuffle=False,
-    )
-    return train, test

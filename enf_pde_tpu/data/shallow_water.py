@@ -43,8 +43,7 @@ __all__ = [
     "ShallowWaterSolver",
     "galewsky_state",
     "generate_sw_trajectories",
-    "get_shallow_water_loaders",
-]
+    ]
 
 
 class SWUnits:
@@ -292,47 +291,3 @@ def _avg_pool_2x2(traj: np.ndarray) -> np.ndarray:
     return traj.reshape(t, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
 
 
-def get_shallow_water_loaders(dataset_cfg, low_res: bool):
-    """Loaders yielding 14-frame trajectories (the reference skips 6 noisy frames)."""
-    from enf_pde_tpu.data import angular_coords
-    from enf_pde_tpu.data.cache import TrajectoryCache, test_seed
-    from enf_pde_tpu.data.loader import TrajectoryLoader
-
-    nphi, ntheta = 192, 96
-    grid = SphereGrid(nphi, ntheta, lmax=(2 * ntheta) // 3)
-
-    def gen_train(ids):
-        return generate_sw_trajectories(ids, grid=grid)
-
-    def gen_test(ids):
-        return generate_sw_trajectories(np.asarray([test_seed(i) for i in ids]), grid=grid)
-
-    root = os.path.join(dataset_cfg.path, "shallow_water")  # shared cache for both res
-    cache_tr = TrajectoryCache(os.path.join(root, "train"), gen_train, batch_size_gen=4)
-    cache_ts = TrajectoryCache(os.path.join(root, "test"), gen_test, batch_size_gen=4)
-
-    if low_res:
-        coarse = SphereGrid(nphi // 2, ntheta // 2)
-        coords = angular_coords(coarse.phi, coarse.theta)
-        fetch_tr = lambda i: _avg_pool_2x2(cache_tr.get(i)[6:])
-        fetch_ts = lambda i: _avg_pool_2x2(cache_ts.get(i)[6:])
-    else:
-        coords = angular_coords(grid.phi, grid.theta)
-        fetch_tr = lambda i: cache_tr.get(i)[6:]
-        fetch_ts = lambda i: cache_ts.get(i)[6:]
-
-    train = TrajectoryLoader(
-        fetch_tr,
-        indices=range(dataset_cfg.num_signals_train),
-        coords=coords,
-        batch_size=dataset_cfg.batch_size,
-        shuffle=True,
-    )
-    test = TrajectoryLoader(
-        fetch_ts,
-        indices=range(dataset_cfg.num_signals_test),
-        coords=coords,
-        batch_size=dataset_cfg.batch_size,
-        shuffle=False,
-    )
-    return train, test

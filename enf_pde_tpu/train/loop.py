@@ -39,20 +39,31 @@ class TrainLoop:
         self.checkpoints = checkpoints
         self.shard_batch = shard_batch or (lambda x: x)
         self.global_step = 0
+        self._equivariance_checked = False
+        self._timer = None
 
     def _batch_traj(self, batch):
         traj = batch[0] if isinstance(batch, (tuple, list)) else batch
         return self.shard_batch(np.asarray(traj))
 
     def train_epoch(self, state: TrainState, epoch: int) -> TrainState:
+        from enf_pde_tpu.utils.profiling import StepTimer
+
+        if self._timer is None:
+            self._timer = StepTimer()
         step_fn, train_nef, train_ode = self.trainer.select_train_step(epoch)
         loss_ep, n = 0.0, 0
         for batch in self.train_loader:
             loss, state = step_fn(state, self._batch_traj(batch))
-            loss_ep += float(loss)
+            loss_ep += float(loss)  # forces completion; the timer sees real step time
+            step_s = self._timer.tick()
             n += 1
             if self.global_step % self.cfg.logging.log_every_n_steps == 0:
-                self.logger.log({"mse_step": float(loss)}, step=self.global_step)
+                metrics = {"mse_step": float(loss)}
+                if step_s:
+                    metrics["step_time_s"] = round(step_s, 4)
+                    metrics["steps_per_sec"] = round(1.0 / step_s, 3)
+                self.logger.log(metrics, step=self.global_step)
             self.global_step += 1
         self.logger.log(
             {
@@ -85,6 +96,46 @@ class TrainLoop:
                 "train_mse_in_t": t_in,
                 "train_mse_out_t": t_out,
             },
+            step=self.global_step,
+            echo=True,
+        )
+        if (
+            not self._equivariance_checked
+            and epoch > self.cfg.get_path("test.test_equiv_at_epoch", 10**9)
+            and self.trainer.num_pos_dims == 2
+            and self.cfg.dataset.name
+            in ("navier_stokes", "navier_stokes_long", "diffusion_plane", "cahn_hilliard")
+        ):
+            self._log_equivariance(state, epoch)
+            self._equivariance_checked = True
+
+    def _log_equivariance(self, state: TrainState, epoch: int):
+        """Numeric analogue of the reference's visual equivariance sanity check."""
+        import jax.numpy as jnp
+
+        from enf_pde_tpu.models.latents import latents_to_pose, tile_latents
+        from enf_pde_tpu.utils.equivariance import equivariance_errors_2d
+
+        batch = next(iter(self.val_loader))
+        frames = self._batch_traj(batch)[:, 0]
+        fitted = self.trainer.fit_latents(state, jnp.asarray(frames))
+        p, a, w = latents_to_pose(fitted)
+        n = min(512, self.trainer.coords.shape[0])
+        coords = jnp.broadcast_to(
+            self.trainer.coords[None, :n], (p.shape[0], n, self.trainer.coords.shape[-1])
+        )
+        errs = equivariance_errors_2d(
+            self.trainer.decoder.apply,
+            state.params["nef"],
+            coords,
+            p,
+            a,
+            w,
+            has_orientation=self.trainer.num_ori_dims > 0,
+            periodic=self.trainer.decoder.cross_attn_invariant.is_periodic,
+        )
+        self.logger.log(
+            {"epoch": epoch, **{f"equivariance_err_{k}": v for k, v in errs.items()}},
             step=self.global_step,
             echo=True,
         )

@@ -1,0 +1,20 @@
+from enf_pde_tpu.utils.equivariance import equivariance_errors_2d
+from enf_pde_tpu.utils.metrics import iou, mse, psnr
+from enf_pde_tpu.utils.profiling import StepTimer, trace
+from enf_pde_tpu.utils.visualization import (
+    plot_ball_rollout,
+    plot_planar_rollout,
+    plot_sphere_rollout,
+)
+
+__all__ = [
+    "equivariance_errors_2d",
+    "iou",
+    "mse",
+    "psnr",
+    "StepTimer",
+    "trace",
+    "plot_ball_rollout",
+    "plot_planar_rollout",
+    "plot_sphere_rollout",
+]

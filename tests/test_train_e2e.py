@@ -130,10 +130,14 @@ def test_inner_loop_descends(setup):
     assert l3 < l0, f"inner loop did not descend: {l0} -> {l3}"
 
 
+def _copy(state):
+    return jax.tree.map(lambda x: x.copy(), state)
+
+
 def test_nef_step_improves_and_updates(setup):
     _, trainer, state, traj = setup
     losses = []
-    s = state
+    s = _copy(state)
     for _ in range(8):
         loss, s = trainer.nef_train_step(s, traj)
         losses.append(float(loss))
@@ -146,17 +150,18 @@ def test_nef_step_improves_and_updates(setup):
 
 def test_ode_and_dual_steps_run(setup):
     _, trainer, state, traj = setup
-    loss_o, s = trainer.ode_train_step(state, traj)
+    loss_o, s = trainer.ode_train_step(_copy(state), traj)
     assert np.isfinite(float(loss_o))
-    # ODE step must not touch nef params.
-    leaf0 = jax.tree_util.tree_leaves(state.params["nef"])[0]
-    leaf1 = jax.tree_util.tree_leaves(s.params["nef"])[0]
-    np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
+    # ODE step must not touch nef params. (Steps donate their input state, so pull
+    # values to host before feeding `s` onward.)
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(state.params["nef"])[0])
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(s.params["nef"])[0])
+    np.testing.assert_array_equal(leaf0, leaf1)
 
     loss_d, s2 = trainer.dual_train_step(s, traj)
     assert np.isfinite(float(loss_d))
-    leaf2 = jax.tree_util.tree_leaves(s2.params["nef"])[0]
-    assert np.abs(np.asarray(leaf2) - np.asarray(leaf1)).max() > 0
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(s2.params["nef"])[0])
+    assert np.abs(leaf2 - leaf1).max() > 0
 
 
 def test_val_step_finite_and_dp_variants(setup):
