@@ -152,9 +152,74 @@ class EnfDecoder(nn.Module):
         for block in self.self_attention_blocks:
             a = a + block(p, p, a, x_h=None, window_size=gaussian_window)
             a = gelu(a)
+        if self._use_pallas_full():
+            return self._call_pallas_full(x, p, a, gaussian_window)
         out = self.cross_attention_block(x, p, a, x_h=None, window_size=gaussian_window)
         out = gelu(out)
         return self.out_proj(out)
+
+    # ------------------------------------------------------------------ pallas path
+
+    def _use_pallas_full(self) -> bool:
+        """Whole-decode fusion: cross attention + output projection + FFN + MLP head.
+
+        Keeps every [b, c, H*D]-sized activation in VMEM — only the final
+        [b, c, num_out] field leaves the chip's fast memory.
+        """
+        return (
+            self.backend in ("pallas", "pallas_interpret")
+            and not self.is_initializing()
+            and self.condition_value_transform
+            and self.embedding_type == "rff"
+        )
+
+    def _call_pallas_full(self, x, p, a, gaussian_window):
+        from enf_pde_tpu.ops.pallas_decode import (
+            extract_attention_weights,
+            extract_tail_weights,
+            fused_enf_decode,
+        )
+
+        attn = self.cross_attention_block.attn
+        a_norm = self.cross_attention_block.layer_norm_attn(a)
+        k = attn.a_to_k(a_norm)
+        v = attn.a_to_v(a_norm)
+
+        invariant = self.cross_attn_invariant
+        inv = invariant(x, p)  # [b, c, z, i] — the kernel's natural layout
+        if self.use_gaussian_window:
+            wb = invariant.gaussian_window(x, p, sigma=gaussian_window)[..., 0]
+        else:
+            wb = jnp.zeros(inv.shape[:3], dtype=inv.dtype)
+
+        weights = extract_attention_weights(
+            {
+                "invariant_embedding_query": attn.invariant_embedding_query.variables["params"],
+                "invariant_embedding_value": attn.invariant_embedding_value.variables["params"],
+                "inv_emb_to_q": attn.inv_emb_to_q.variables["params"],
+                "inv_emb_to_v": attn.inv_emb_to_v.variables["params"],
+                "inv_emb_cond_mixer": attn.inv_emb_cond_mixer.variables["params"],
+            }
+        )
+        tail = extract_tail_weights(
+            attn.out_proj.variables["params"],
+            self.cross_attention_block.pointwise_ffn.variables["params"],
+            self.out_proj.variables["params"],
+        )
+        interpret = self.backend == "pallas_interpret"
+        return fused_enf_decode(
+            inv,
+            wb,
+            k,
+            v,
+            weights,
+            num_heads=self.num_heads,
+            head_dim=self.num_hidden,
+            interpret=interpret,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
+            tail_weights=tail,
+            num_out=self.num_out,
+        )
 
 
 def decode_chunked(

@@ -181,7 +181,7 @@ class EquivariantCrossAttention(nn.Module):
     def _call_pallas(self, x, p, a, window_sigma):
         from enf_pde_tpu.ops.pallas_decode import extract_attention_weights, fused_enf_decode
 
-        inv = self.invariant(x, p)
+        inv = self.invariant(x, p)  # [b, c, z, i] — the kernel's natural layout
         if self.use_gaussian_window:
             wb = self.invariant.gaussian_window(x, p, sigma=window_sigma)[..., 0]
         else:

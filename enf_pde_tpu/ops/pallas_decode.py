@@ -37,7 +37,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_enf_decode", "extract_attention_weights", "pallas_available"]
+__all__ = [
+    "fused_enf_decode",
+    "fused_enf_decode_geom",
+    "extract_attention_weights",
+    "extract_tail_weights",
+    "pallas_available",
+]
 
 # Order of weight arrays passed to the kernel (all f32):
 _WEIGHT_NAMES = (
@@ -54,6 +60,16 @@ _WEIGHT_NAMES = (
     "m_w1", "m_b1",  # mixer dense 1: [D, hid], [hid]
     "m_ln_s", "m_ln_b",  # mixer layernorm: [hid]
     "m_w2", "m_b2",  # mixer dense 2: [hid, D], [D]
+)
+
+_TAIL_WEIGHT_NAMES = (
+    "o_w", "o_b",        # attention output projection [H*D, H*D]
+    "p_w1", "p_b1",      # block FFN dense 1 [H*D, H*D]
+    "p_ln_s", "p_ln_b",  # block FFN layernorm
+    "p_w2", "p_b2",      # block FFN dense 2 [H*D, H*D]
+    "h_w1", "h_b1",      # head MLP [H*D, hid]
+    "h_w2", "h_b2",      # head MLP [hid, hid]
+    "h_w3", "h_b3",      # head MLP [hid, num_out]
 )
 
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default
@@ -105,6 +121,30 @@ def extract_attention_weights(attn_params: Dict) -> Dict[str, jnp.ndarray]:
     }
 
 
+def extract_tail_weights(attn_out_proj, block_ffn, head_mlp) -> Dict[str, jnp.ndarray]:
+    """Tail weights: attention out-projection + block FFN + decoder head MLP.
+
+    Args are the flax param dicts of ``attn.out_proj``, the block's
+    ``pointwise_ffn``, and the decoder's ``out_proj`` Sequential.
+    """
+    return {
+        "o_w": attn_out_proj["kernel"],
+        "o_b": attn_out_proj["bias"],
+        "p_w1": block_ffn["Dense_0"]["kernel"],
+        "p_b1": block_ffn["Dense_0"]["bias"],
+        "p_ln_s": block_ffn["LayerNorm_0"]["scale"],
+        "p_ln_b": block_ffn["LayerNorm_0"]["bias"],
+        "p_w2": block_ffn["Dense_1"]["kernel"],
+        "p_b2": block_ffn["Dense_1"]["bias"],
+        "h_w1": head_mlp["layers_0"]["kernel"],
+        "h_b1": head_mlp["layers_0"]["bias"],
+        "h_w2": head_mlp["layers_2"]["kernel"],
+        "h_b2": head_mlp["layers_2"]["bias"],
+        "h_w3": head_mlp["layers_4"]["kernel"],
+        "h_b3": head_mlp["layers_4"]["bias"],
+    }
+
+
 def _layernorm(x, scale, bias):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
@@ -134,14 +174,20 @@ def _decode_kernel(
     head_dim: int,
     num_latents: int,
     compute_dtype,
+    with_tail: bool,
     # refs
     inv_ref, wb_ref, k_ref, v_ref, headblock_ref,
     q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
     v_coeff, v_w1, v_b1, v_w2, v_b2,
     f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
     m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2,
-    y_ref,
+    *tail_and_out,
 ):
+    if with_tail:
+        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3, y_ref) = tail_and_out
+    else:
+        (y_ref,) = tail_and_out
     """One (batch, coord-tile) step of the fused decode.
 
     The latent axis is unrolled *inside* the program (z <= 25 in all experiments), so
@@ -159,8 +205,8 @@ def _decode_kernel(
     att_all = []
     v_all = []
     for zi in range(num_latents):
-        inv = inv_ref[0, zi, :, :]  # [C_T, I]
-        wb = wb_ref[0, zi, :, :]  # [C_T, 1]
+        inv = inv_ref[0, :, zi, :]  # [C_T, I]
+        wb = wb_ref[0, :, zi : zi + 1]  # [C_T, 1]
         k_z = k_ref[0, zi, :, :]  # [1, H*D]
         v_z = v_ref[0, zi, :, :]  # [1, H*D]
 
@@ -200,7 +246,196 @@ def _decode_kernel(
         p_z = jnp.exp(att_all[zi] - m_run)
         norm = norm + p_z
         acc = acc + p_z * v_all[zi]
-    y_ref[0, :, :] = acc / norm
+    y = acc / norm
+
+    if not with_tail:
+        y_ref[0, :, :] = y
+        return
+
+    # --- fused decode tail: attn out-proj -> block FFN -> gelu -> head MLP ---------
+    # Keeping the tail in VMEM avoids ~6 HBM round trips of [b, c, H*D] activations.
+    y = _mm(y, o_w[:], dt) + o_b[:]
+    t = jax.nn.gelu(_mm(y, p_w1[:], dt) + p_b1[:])
+    t = _layernorm(t, p_ln_s[:], p_ln_b[:])
+    y = _mm(t, p_w2[:], dt) + p_b2[:]
+    y = jax.nn.gelu(y)
+    h = jax.nn.gelu(_mm(y, h_w1[:], dt) + h_b1[:])
+    h = jax.nn.gelu(_mm(h, h_w2[:], dt) + h_b2[:])
+    y_ref[0, :, :] = _mm(h, h_w3[:], dt) + h_b3[:]
+
+
+def _geom_kernel(
+    invariant,
+    use_window: bool,
+    num_heads: int,
+    head_dim: int,
+    num_latents: int,
+    compute_dtype,
+    with_tail: bool,
+    # refs
+    x_ref, p_ref, sig_ref, k_ref, v_ref, headblock_ref,
+    q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
+    v_coeff, v_w1, v_b1, v_w2, v_b2,
+    f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
+    m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2,
+    *tail_and_out,
+):
+    """Fully fused decode including geometry: invariants and Gaussian-window biases
+    are computed in VMEM from raw coordinates and latent poses, so the only HBM
+    inputs are x [C_T, d], poses, and the weights — nothing O(c*z) ever leaves VMEM.
+
+    The geometry object is a hashable static argument; its jnp ops trace directly
+    into the Mosaic kernel.
+    """
+    if with_tail:
+        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3, y_ref) = tail_and_out
+    else:
+        (y_ref,) = tail_and_out
+
+    H, D = num_heads, head_dim
+    dt = compute_dtype
+    scale = 1.0 / np.sqrt(D)
+
+    x_blk = x_ref[0, :, :]  # [C_T, d]
+    m_run = None
+    att_all, v_all = [], []
+    for zi in range(num_latents):
+        pz = p_ref[0, zi : zi + 1, :]  # [1, pose_dim]
+        inv = invariant(x_blk[None], pz[None])[0, :, 0, :]  # [C_T, I]
+        if use_window:
+            sz = sig_ref[0, zi : zi + 1, :]
+            wb = invariant.gaussian_window(x_blk[None], pz[None], sz[None])[0, :, 0, :]
+        else:
+            wb = jnp.zeros((x_blk.shape[0], 1), jnp.float32)
+        k_z = k_ref[0, zi, :, :]
+        v_z = v_ref[0, zi, :, :]
+
+        q_emb = _rff_mlp(inv, q_coeff[:], q_w1[:], q_b1[:], q_w2[:], q_b2[:], dt)
+        q = _mm(q_emb, wq[:], dt) + bq[:]
+
+        v_emb = _rff_mlp(inv, v_coeff[:], v_w1[:], v_b1[:], v_w2[:], v_b2[:], dt)
+        t = jax.nn.gelu(_mm(v_emb, f_w1[:], dt) + f_b1[:])
+        t = _layernorm(t, f_ln_s[:], f_ln_b[:])
+        gamma_beta = _mm(t, f_w2[:], dt) + f_b2[:]
+        v_cond = v_z * (1.0 + gamma_beta[:, : H * D]) + gamma_beta[:, H * D :]
+
+        v_mixed_cols = []
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            vm = jax.nn.gelu(_mm(v_cond[:, sl], m_w1[:], dt) + m_b1[:])
+            vm = _layernorm(vm, m_ln_s[:], m_ln_b[:])
+            v_mixed_cols.append(_mm(vm, m_w2[:], dt) + m_b2[:])
+        v_all.append(jnp.concatenate(v_mixed_cols, axis=-1))
+
+        att = jnp.dot(q * k_z, headblock_ref[:], preferred_element_type=jnp.float32)
+        att = att * scale + wb
+        att_all.append(att)
+        m_run = att if m_run is None else jnp.maximum(m_run, att)
+
+    acc = jnp.zeros_like(att_all[0])
+    norm = jnp.zeros_like(att_all[0])
+    for zi in range(num_latents):
+        p_z = jnp.exp(att_all[zi] - m_run)
+        norm = norm + p_z
+        acc = acc + p_z * v_all[zi]
+    y = acc / norm
+
+    if not with_tail:
+        y_ref[0, :, :] = y
+        return
+    y = _mm(y, o_w[:], dt) + o_b[:]
+    t = jax.nn.gelu(_mm(y, p_w1[:], dt) + p_b1[:])
+    t = _layernorm(t, p_ln_s[:], p_ln_b[:])
+    y = _mm(t, p_w2[:], dt) + p_b2[:]
+    y = jax.nn.gelu(y)
+    h = jax.nn.gelu(_mm(y, h_w1[:], dt) + h_b1[:])
+    h = jax.nn.gelu(_mm(h, h_w2[:], dt) + h_b2[:])
+    y_ref[0, :, :] = _mm(h, h_w3[:], dt) + h_b3[:]
+
+
+def fused_enf_decode_geom(
+    x: jnp.ndarray,
+    p: jnp.ndarray,
+    sigma: jnp.ndarray,
+    invariant,
+    use_window: bool,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    weights: Dict[str, jnp.ndarray],
+    num_heads: int,
+    head_dim: int,
+    tile_c: int = 512,
+    interpret: bool = False,
+    compute_dtype=jnp.bfloat16,
+    tail_weights: Dict[str, jnp.ndarray] | None = None,
+    num_out: int | None = None,
+) -> jnp.ndarray:
+    """Geometry-fused decode: inputs are raw coordinates and latent poses.
+
+    Args:
+        x: query coordinates [b, c, d].
+        p: latent poses (angles already embedded) [b, z, pose_dim].
+        sigma: per-latent window sizes [b, z, 1].
+        invariant: a geometry invariant (hashable; its jnp ops lower into the kernel).
+        Other args as in ``fused_enf_decode``.
+    """
+    b, c, d = x.shape
+    z = p.shape[1]
+    hd = num_heads * head_dim
+    tile_c = min(tile_c, max(8, c))
+    pad_c = (-c) % tile_c
+    if pad_c:
+        x = jnp.pad(x, ((0, 0), (0, pad_c), (0, 0)))
+    cp = c + pad_c
+
+    headblock = jnp.kron(jnp.eye(num_heads), jnp.ones((head_dim, head_dim))).astype(jnp.float32)
+    with_tail = tail_weights is not None
+    kernel = functools.partial(
+        _geom_kernel, invariant, use_window, num_heads, head_dim, z, compute_dtype, with_tail
+    )
+
+    def _as2d(w):
+        w = w.astype(jnp.float32)
+        return w.reshape(1, -1) if w.ndim == 1 else w
+
+    w_list = [_as2d(weights[n]) for n in _WEIGHT_NAMES]
+    if with_tail:
+        w_list += [_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES]
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda nd: (lambda bi, ci: (0,) * nd))(w.ndim),
+                     memory_space=pltpu.VMEM)
+        for w in w_list
+    ]
+
+    out_dim = num_out if with_tail else hd
+    y = pl.pallas_call(
+        kernel,
+        grid=(b, cp // tile_c),
+        in_specs=[
+            pl.BlockSpec((1, tile_c, d), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, p.shape[-1]), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, 1), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, hd), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_c, out_dim), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cp, out_dim), jnp.float32),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32),
+        p.astype(jnp.float32),
+        sigma.astype(jnp.float32),
+        k[:, :, None, :].astype(jnp.float32),
+        v[:, :, None, :].astype(jnp.float32),
+        headblock,
+        *w_list,
+    )
+    return y[:, :c]
 
 
 def fused_enf_decode(
@@ -214,12 +449,19 @@ def fused_enf_decode(
     tile_c: int = 512,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
+    layout: str = "bczi",
+    tail_weights: Dict[str, jnp.ndarray] | None = None,
+    num_out: int | None = None,
 ) -> jnp.ndarray:
-    """Fused attention output ``y [b, c, H*D]`` (pre output-projection).
+    """Fused decode: attention output ``[b, c, H*D]``, or with ``tail_weights`` the
+    *complete* field decode ``[b, c, num_out]`` (attention out-projection, block FFN,
+    gelu, and the 3-layer MLP head all fused in VMEM).
 
     Args:
-        inv: bi-invariants [b, c, z, I].
-        window_bias: additive logit bias [b, c, z] (zeros when windows are off).
+        inv: bi-invariants, [b, c, z, I] (layout="bczi") or latent-major
+            [b, z, c, I] (layout="bzci" — preferred; avoids an HBM transpose).
+        window_bias: additive logit bias, [b, c, z] resp. [b, z, c] (zeros when
+            windows are off).
         k / v: latent keys/values [b, z, H*D].
         weights: see ``extract_attention_weights``.
         num_heads / head_dim: H and D (D == num_hidden).
@@ -228,6 +470,11 @@ def fused_enf_decode(
         compute_dtype: operand dtype for the wide hidden matmuls (f32 accumulate).
             bfloat16 keeps the MXU at full rate; pass jnp.float32 for strict parity.
     """
+    if layout == "bzci":  # latent-major callers: restore the natural layout
+        inv = jnp.transpose(inv, (0, 2, 1, 3))
+        window_bias = jnp.transpose(window_bias, (0, 2, 1))
+    elif layout != "bczi":
+        raise ValueError(f"unknown layout {layout!r}")
     b, c, z, i = inv.shape
     hd = num_heads * head_dim
     tile_c = min(tile_c, max(8, c))
@@ -248,44 +495,49 @@ def fused_enf_decode(
             wcoef = weights[name]
             weights[name] = jnp.pad(wcoef, ((0, i_pad - i), (0, 0)))
 
-    # TPU block layouts: put the coordinate tile in the sublane dimension.
-    inv_t = jnp.transpose(inv, (0, 2, 1, 3))  # [B, Z, C, I]
-    wb_t = jnp.transpose(window_bias, (0, 2, 1))[..., None]  # [B, Z, C, 1]
+    inv_t = inv  # [B, C, Z, I] (natural layout; the kernel slices z in VMEM)
+    wb_t = window_bias  # [B, C, Z]
     k_r = k[:, :, None, :]  # [B, Z, 1, H*D]
     v_r = v[:, :, None, :]
 
     # Block-diagonal ones: expands per-head logit sums over that head's lanes.
     headblock = jnp.kron(jnp.eye(num_heads), jnp.ones((head_dim, head_dim))).astype(jnp.float32)
 
-    kernel = functools.partial(_decode_kernel, num_heads, head_dim, z, compute_dtype)
+    with_tail = tail_weights is not None
+    kernel = functools.partial(
+        _decode_kernel, num_heads, head_dim, z, compute_dtype, with_tail
+    )
 
     def _as2d(w):
         w = w.astype(jnp.float32)
         return w.reshape(1, -1) if w.ndim == 1 else w
 
     w_list = [_as2d(weights[n]) for n in _WEIGHT_NAMES]
+    if with_tail:
+        w_list += [_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES]
     w_specs = [
         pl.BlockSpec(w.shape, (lambda nd: (lambda bi, ci: (0,) * nd))(w.ndim),
                      memory_space=pltpu.VMEM)
         for w in w_list
     ]
 
+    out_dim = num_out if with_tail else hd
     grid = (b, cp // tile_c)
     y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, z, tile_c, i_pad), lambda bi, ci: (bi, 0, ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, tile_c, 1), lambda bi, ci: (bi, 0, ci, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c, z, i_pad), lambda bi, ci: (bi, ci, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c, z), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hd, hd), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_c, hd), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+            (1, tile_c, out_dim), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, cp, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, cp, out_dim), jnp.float32),
         interpret=interpret,
     )(inv_t.astype(jnp.float32), wb_t.astype(jnp.float32), k_r.astype(jnp.float32),
       v_r.astype(jnp.float32), headblock, *w_list)

@@ -241,7 +241,9 @@ class MetaSGDTrainer:
         """
         cfg = self.cfg
         T_in = cfg.dataset.traj_len_train
-        T_total = T_in + cfg.dataset.traj_len_out_horizon
+        # Clamp the out-horizon to the frames the dataset actually provides (the
+        # reference's NS config requests 50 extrapolation frames from 20-frame data).
+        T_total = min(T_in + cfg.dataset.traj_len_out_horizon, trajectory.shape[1])
         trajectory = trajectory[:, :T_total]
         b = trajectory.shape[0]
 
@@ -271,7 +273,10 @@ class MetaSGDTrainer:
         )
         recon = recon.reshape(trajectory.shape)
         mse_in = jnp.mean((recon[:, :T_in] - trajectory[:, :T_in]) ** 2)
-        mse_out = jnp.mean((recon[:, T_in:] - trajectory[:, T_in:]) ** 2)
+        if T_total > T_in:
+            mse_out = jnp.mean((recon[:, T_in:] - trajectory[:, T_in:]) ** 2)
+        else:
+            mse_out = jnp.zeros(())
         return mse_in, mse_out
 
     def fit_latents(self, state: TrainState, frames, rng=None, dp: float = 0.0):
