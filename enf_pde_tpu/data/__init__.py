@@ -79,6 +79,23 @@ def get_dataloader(dataset_cfg) -> Tuple[TrajectoryLoader, TrajectoryLoader]:
     fetch_tr = lambda i: spec.postprocess(cache_tr.get(i))
     fetch_ts = lambda i: spec.postprocess(cache_ts.get(i))
 
+    def _native_batch_fetch(cache):
+        """Batch fetch via the native (C++) prefetcher; None if unavailable."""
+        from enf_pde_tpu.data.native_loader import NativePrefetcher, native_available
+
+        if not native_available():
+            return None
+        prefetcher = NativePrefetcher(num_threads=2)
+
+        def batch_fetch(ids):
+            cache.ensure(ids)
+            paths = [cache.ensure_raw(int(i)) for i in ids]
+            shape = cache.shape()
+            block = prefetcher.load_batch(paths, shape)
+            return np.stack([spec.postprocess(t) for t in block])
+
+        return batch_fetch
+
     train = TrajectoryLoader(
         fetch_tr,
         indices=range(dataset_cfg.num_signals_train),
@@ -87,6 +104,7 @@ def get_dataloader(dataset_cfg) -> Tuple[TrajectoryLoader, TrajectoryLoader]:
         shuffle=True,
         seed=0,
         max_frames=spec.n_frames_train,
+        batch_fetch=_native_batch_fetch(cache_tr),
     )
     test = TrajectoryLoader(
         fetch_ts,
@@ -95,5 +113,6 @@ def get_dataloader(dataset_cfg) -> Tuple[TrajectoryLoader, TrajectoryLoader]:
         batch_size=dataset_cfg.batch_size,
         shuffle=False,
         seed=1,
+        batch_fetch=_native_batch_fetch(cache_ts),
     )
     return train, test

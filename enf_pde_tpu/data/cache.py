@@ -55,6 +55,51 @@ class TrajectoryCache:
     def _path(self, idx: int) -> str:
         return os.path.join(self.root, f"traj_{idx:06d}.npz")
 
+    def raw_path(self, idx: int) -> str:
+        """Flat float32 companion file consumed by the native prefetcher."""
+        return os.path.join(self.root, f"traj_{idx:06d}.raw")
+
+    def shape(self):
+        """Per-trajectory shape, recorded when the first trajectory is written."""
+        import json
+
+        meta = os.path.join(self.root, "shape.json")
+        if not os.path.exists(meta):
+            return None
+        with open(meta) as f:
+            return tuple(json.load(f))
+
+    def _write_traj(self, idx: int, traj) -> None:
+        import json
+
+        arr = np.asarray(traj, dtype=np.float32)
+        tmp = self._path(idx) + ".tmp.npz"
+        np.savez_compressed(tmp, data=arr)
+        os.replace(tmp, self._path(idx))
+        # Raw companion for the native prefetcher (no decompression on the hot path).
+        tmp_raw = self.raw_path(idx) + ".tmp"
+        arr.tofile(tmp_raw)
+        os.replace(tmp_raw, self.raw_path(idx))
+        meta = os.path.join(self.root, "shape.json")
+        if not os.path.exists(meta):
+            with open(meta, "w") as f:
+                json.dump(list(arr.shape), f)
+
+    def ensure_raw(self, idx: int) -> str:
+        """Make sure the raw companion exists (regenerate from npz if missing)."""
+        if not os.path.exists(self.raw_path(idx)):
+            arr = self.get(idx)
+            tmp_raw = self.raw_path(idx) + ".tmp"
+            np.asarray(arr, dtype=np.float32).tofile(tmp_raw)
+            os.replace(tmp_raw, self.raw_path(idx))
+            import json
+
+            meta = os.path.join(self.root, "shape.json")
+            if not os.path.exists(meta):
+                with open(meta, "w") as f:
+                    json.dump(list(np.asarray(arr).shape), f)
+        return self.raw_path(idx)
+
     def get(self, idx: int) -> np.ndarray:
         if idx in self._mem:
             return self._mem[idx]
@@ -86,9 +131,7 @@ class TrajectoryCache:
             self._generate_subprocess(missing)
             return
         for i, traj in zip(missing, block):
-            tmp = self._path(i) + ".tmp.npz"
-            np.savez_compressed(tmp, data=np.asarray(traj, dtype=np.float32))
-            os.replace(tmp, self._path(i))
+            self._write_traj(i, traj)
 
     def _generate_subprocess(self, ids):
         import subprocess

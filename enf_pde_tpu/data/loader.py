@@ -24,8 +24,12 @@ class TrajectoryLoader:
         shuffle: bool = False,
         seed: int = 0,
         max_frames: Optional[int] = None,
+        batch_fetch: Optional[Callable[[np.ndarray], np.ndarray]] = None,
     ):
+        """``batch_fetch``: optional vectorized fetch (e.g. the native prefetcher);
+        takes an id array and returns the stacked trajectories."""
         self.fetch = fetch
+        self.batch_fetch = batch_fetch
         self.indices = np.asarray(list(indices))
         self.coords = np.asarray(coords)
         self.batch_size = min(batch_size, len(self.indices))
@@ -42,7 +46,10 @@ class TrajectoryLoader:
             self._rng.shuffle(order)
         for b in range(len(self)):
             ids = order[b * self.batch_size : (b + 1) * self.batch_size]
-            trajs = np.stack([self.fetch(int(i)) for i in ids])
+            if self.batch_fetch is not None:
+                trajs = self.batch_fetch(ids)
+            else:
+                trajs = np.stack([self.fetch(int(i)) for i in ids])
             if self.max_frames is not None:
                 trajs = trajs[:, : self.max_frames]
             yield trajs, self.coords, ids
