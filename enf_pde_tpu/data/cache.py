@@ -49,6 +49,16 @@ class TrajectoryCache:
         self.batch_size_gen = batch_size_gen
         self.subprocess_fallback = subprocess_fallback
         self._force_subprocess = False
+        if subprocess_fallback is not None:
+            # On non-CPU backends, generate in a CPU subprocess from the start: a
+            # failed in-process attempt (e.g. complex FFT on a remote-TPU platform)
+            # can leave the accelerator client unusable for the training run.
+            try:
+                import jax
+
+                self._force_subprocess = jax.default_backend() != "cpu"
+            except Exception:
+                pass
         os.makedirs(root, exist_ok=True)
         self._mem: dict[int, np.ndarray] = {}
 

@@ -56,6 +56,15 @@ class MetaSGDTrainer:
             noise_pos_inner_loop=cfg.meta.noise_pos_inner_loop,
         )
         self.inner_loop = make_inner_loop(decoder.apply, self.coords, self.inner_cfg)
+
+        # Validation decoding is forward-only, so it can run on the fused Pallas
+        # kernel even while training uses the XLA path (which supports the
+        # second-order autodiff the meta objective needs). Same parameter tree.
+        eval_backend = cfg.nef.get("eval_backend", decoder.backend)
+        if eval_backend != decoder.backend:
+            self.eval_decoder = decoder.clone(backend=eval_backend)
+        else:
+            self.eval_decoder = decoder
         self._build_steps()
 
     # ------------------------------------------------------------------ state init
@@ -263,7 +272,7 @@ class MetaSGDTrainer:
             self.coords[None], (p_fl.shape[0], *self.coords.shape)
         )
         recon = decode_chunked(
-            self.decoder.apply,
+            self.eval_decoder.apply,
             state.params["nef"],
             coords,
             p_fl,
