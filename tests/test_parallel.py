@@ -87,3 +87,39 @@ def test_coordinate_sharded_decode_matches(setup):
     dec = sharded_decode(decoder.apply, mesh)
     out = dec(state.params["nef"], coords, p, a, w)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), rtol=2e-5, atol=2e-5)
+
+
+def test_2d_mesh_data_by_coord_decode(setup):
+    """Combined 2D mesh: batch over 'data' x coordinates over 'coord'."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from functools import partial
+
+    cfg, trainer, state, traj = setup
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "coord"))
+    decoder = trainer.decoder
+
+    from enf_pde_tpu.models.latents import latents_to_pose, tile_latents
+    from enf_pde_tpu.data import planar_coords
+
+    lat = tile_latents(state.params["autodecoder"], 4)
+    p, a, w = latents_to_pose(lat)
+    coords = jnp.asarray(planar_coords(SIZE, SIZE))[None].repeat(4, axis=0)
+
+    ref = decoder.apply(state.params["nef"], coords, p, a, w)
+
+    repl = NamedSharding(mesh, P())
+    xspec = NamedSharding(mesh, P("data", "coord", None))
+    lspec = NamedSharding(mesh, P("data", None, None))
+
+    @partial(
+        jax.jit,
+        in_shardings=(repl, xspec, lspec, lspec, lspec),
+        out_shardings=xspec,
+    )
+    def decode(params, x, p, a, w):
+        return decoder.apply(params, x, p, a, w)
+
+    out = decode(state.params["nef"], coords, p, a, w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
