@@ -64,10 +64,18 @@ def main(argv=None):
         if not missing:
             continue
         block = gen(np.asarray(missing))
+        os.makedirs(out_dir, exist_ok=True)  # re-assert; cheap and race-proof
         for i, traj in zip(missing, block):
             path = os.path.join(out_dir, f"traj_{i:06d}.npz")
-            np.savez_compressed(path + ".tmp.npz", data=np.asarray(traj, dtype=np.float32))
+            arr = np.asarray(traj, dtype=np.float32)
+            np.savez_compressed(path + ".tmp.npz", data=arr)
             os.replace(path + ".tmp.npz", path)
+            arr.tofile(path[:-4] + ".raw.tmp")
+            os.replace(path[:-4] + ".raw.tmp", path[:-4] + ".raw")
+        meta = os.path.join(out_dir, "shape.json")
+        if not os.path.exists(meta):
+            with open(meta, "w") as f:
+                json.dump(list(np.asarray(block[0]).shape), f)
         print(f"[generate] {args.dataset}/{args.group}: wrote {len(missing)} trajectories")
 
 
