@@ -115,4 +115,9 @@ def get_dataloader(dataset_cfg) -> Tuple[TrajectoryLoader, TrajectoryLoader]:
         seed=1,
         batch_fetch=_native_batch_fetch(cache_ts),
     )
+    # Pre-generation hooks: forking a generation subprocess mid-training (after the
+    # accelerator runtime spawns its thread pool) risks fork deadlocks; entry points
+    # call these once at startup instead.
+    train.ensure_all = lambda: cache_tr.ensure(train.indices)
+    test.ensure_all = lambda: cache_ts.ensure(test.indices)
     return train, test

@@ -37,6 +37,11 @@ __all__ = ["run_experiment", "prepare"]
 def prepare(cfg: Config):
     """Build loaders, coords, and models; fill in data-derived config fields."""
     train_loader, test_loader = get_dataloader(cfg.dataset)
+    # Generate any missing trajectories now, before the accelerator runtime spins up
+    # its thread pools (mid-training generation subprocesses can hit fork deadlocks).
+    for ldr in (train_loader, test_loader):
+        if hasattr(ldr, "ensure_all"):
+            ldr.ensure_all()
     probe = next(iter(train_loader))
     frame = probe[0][0]
     cfg.dataset.image_shape = list(frame.shape)
