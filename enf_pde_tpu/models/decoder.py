@@ -161,10 +161,11 @@ class EnfDecoder(nn.Module):
     # ------------------------------------------------------------------ pallas path
 
     def _use_pallas_full(self) -> bool:
-        """Whole-decode fusion: cross attention + output projection + FFN + MLP head.
+        """Whole-decode fusion: geometry + cross attention + out-proj + FFN + MLP head.
 
-        Keeps every [b, c, H*D]-sized activation in VMEM — only the final
-        [b, c, num_out] field leaves the chip's fast memory.
+        Keeps every O(coords)-sized activation in VMEM — only the final
+        [b, c, num_out] field leaves the chip's fast memory. The fused op carries a
+        custom VJP (second-order capable), so this path also serves training.
         """
         return (
             self.backend in ("pallas", "pallas_interpret")
@@ -185,8 +186,11 @@ class EnfDecoder(nn.Module):
         k = attn.a_to_k(a_norm)
         v = attn.a_to_v(a_norm)
 
+        # Geometry stays in XLA (tiny-lane elementwise math the VPU would waste
+        # kernel time on); the transpose to the kernel's latent-major layout fuses
+        # into the producer.
         invariant = self.cross_attn_invariant
-        inv = invariant(x, p)  # [b, c, z, i] — the kernel's natural layout
+        inv = invariant(x, p)  # [b, c, z, i]
         if self.use_gaussian_window:
             wb = invariant.gaussian_window(x, p, sigma=gaussian_window)[..., 0]
         else:
@@ -215,10 +219,10 @@ class EnfDecoder(nn.Module):
             weights,
             num_heads=self.num_heads,
             head_dim=self.num_hidden,
-            interpret=interpret,
-            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
             tail_weights=tail,
             num_out=self.num_out,
+            interpret=interpret,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
         )
 
 

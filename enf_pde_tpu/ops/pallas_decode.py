@@ -1,35 +1,53 @@
-"""Fused Pallas TPU kernel for the ENF decode cross-attention.
+"""Fused Pallas TPU kernel for the ENF decode cross-attention, with a custom VJP.
 
 The reference decode materializes a ``[batch, coords, latents, heads, head_dim]``
 FiLM-conditioned value tensor in HBM (``equivariant_cross_attention.py:97-144``) — the
-dominant memory traffic of the whole model. This kernel fuses, per coordinate tile and
-latent, entirely in VMEM:
+dominant memory traffic of the whole model. This kernel fuses, per coordinate tile,
+entirely in VMEM:
 
     invariant embedding (RFF -> ReLU MLP) -> query projection
-    -> logits + Gaussian-window bias -> online softmax over latents
+    -> logits + window bias -> softmax over latents
     -> FiLM value conditioning (second RFF MLP -> gamma/beta -> per-head mixer MLP)
-    -> attention-weighted accumulation
+    -> attention-weighted sum [-> out-projection -> block FFN -> 3-layer MLP head]
 
-Layout: grid ``(batch, coord_tiles, latents)`` with the latent axis innermost; running
-max / normalizer / weighted-value accumulators live in VMEM scratch across latent
-steps (the flash-attention pattern; here the softmax axis is the *latent* axis, which
-is small, while coordinate tiles are embarrassingly parallel). All matmuls take
-``[TILE_C, width]`` x ``[width, width]`` shapes that map directly onto the MXU.
+Design notes (TPU; measured on v5e):
 
-The kernel computes the *pre-projection* attention output ``y [b, c, H*D]``; the
-(single) output projection and the surrounding block FFN remain in XLA where they fuse
-fine. Geometry stays outside: invariants and window biases are cheap VPU math computed
-by the caller, so every invariant type shares this one kernel.
+- **The latent axis is folded into the matmul M dimension.** All dense chains run on
+  ``[Z*TILE_C, width]`` operands — one large MXU matmul per layer instead of Z small
+  ones, so the systolic array reaches steady state (Z is 4-25 in all experiments).
+  A matmul-only skeleton of this kernel sustains ~70% of v5e bf16 peak; the full op
+  is bounded by the VPU transcendentals the model demands per point (gelu, sin/cos,
+  exp — about 4k element-evals per coordinate), not by the MXU.
+- **bf16 operands, f32 accumulation** (``compute_dtype``): every wide matmul casts its
+  operands to bf16 (matching the trainers' default TPU matmul precision) and
+  accumulates in f32. The RFF phase projection, softmax, and bias adds stay f32.
+- **Geometry stays in XLA.** An earlier revision computed invariants inside the
+  kernel; geometry is tiny-lane elementwise work (2-8 useful lanes of 128) and
+  measured 2.3x slower in-kernel than letting XLA stream the invariant tensor from
+  HBM (tens of MB, irrelevant next to compute time). The kernel consumes invariants
+  latent-major (``bzci``) so the transpose fuses into the XLA producer.
+- **Custom VJP**: the backward pass is a second Pallas kernel that rematerializes the
+  tile forward and applies ``jax.vjp`` *inside* the kernel, accumulating key/value /
+  weight gradients across coordinate tiles in VMEM and writing invariant/window
+  cotangents per tile. Both kernels are wrapped in ``custom_jvp`` shields whose
+  tangent rules run the XLA composition of the same math, so second-order autodiff —
+  the meta-SGD outer gradient through the inner loop — works end to end (first-order
+  stays fully Pallas; only the grad-of-grad terms fall back to XLA).
 
-Weight pytree layout produced by ``extract_attention_weights`` from the flax params of
-``ops.attention.EquivariantCrossAttention`` (requires ``embedding_type='rff'``,
-``condition_value_transform=True``, ``condition_invariant_embedding=False``).
+The per-head logit sum and its broadcast back over head lanes both ride a single
+matmul with a block-diagonal ones matrix (``_headblock``), keeping every array at
+MXU/VPU-friendly 128-lane shapes.
+
+Weight pytree layout is produced by ``extract_attention_weights`` /
+``extract_tail_weights`` from the flax params of ``ops.attention`` modules (requires
+``embedding_type='rff'``, ``condition_value_transform=True``,
+``condition_invariant_embedding=False``).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,13 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "fused_enf_decode",
-    "fused_enf_decode_geom",
     "extract_attention_weights",
     "extract_tail_weights",
     "pallas_available",
+    "decode_flops_per_point",
 ]
 
-# Order of weight arrays passed to the kernel (all f32):
+# Order of weight arrays passed to the kernels (all f32; 1-D biases shipped as [1, n]):
 _WEIGHT_NAMES = (
     "q_coeff",  # [I, hid/2]   RFF coefficients (query embedding)
     "q_w1", "q_b1",  # [hid, hid], [hid]
@@ -72,6 +90,7 @@ _TAIL_WEIGHT_NAMES = (
     "h_w3", "h_b3",      # head MLP [hid, num_out]
 )
 
+_N_W = len(_WEIGHT_NAMES)
 _LN_EPS = 1e-6  # flax.linen.LayerNorm default
 
 
@@ -145,297 +164,374 @@ def extract_tail_weights(attn_out_proj, block_ffn, head_mlp) -> Dict[str, jnp.nd
     }
 
 
-def _layernorm(x, scale, bias):
+def decode_flops_per_point(num_heads, head_dim, hidden, num_latents, inv_dim, num_out,
+                           with_tail=True):
+    """Analytic model FLOPs per decoded coordinate (reference math, no kernel tricks).
+
+    Counts 2 FLOPs per MAC for the dense chains, the q*k logit dot, and (optionally)
+    the fused tail. Used by bench.py to report model FLOPs utilization.
+    """
+    hd = num_heads * head_dim
+    per_z = (
+        2 * inv_dim * (hidden // 2) * 2      # two RFF projections
+        + 2 * hidden * hidden * 2 * 2        # two 2-layer MLPs on the embeddings
+        + 2 * hidden * hd                    # wq
+        + 2 * hidden * 2 * hd                # FiLM gamma/beta
+        + 2 * hidden * hidden                # FiLM FFN dense 1
+        + num_heads * (2 * head_dim * hidden + 2 * hidden * head_dim)  # mixer
+        + 2 * hd                             # q*k logit dot
+    )
+    tail = (
+        2 * hd * hd * 3                      # out-proj + block FFN (2 dense)
+        + 2 * hd * hidden                    # head MLP 1
+        + 2 * hidden * hidden                # head MLP 2
+        + 2 * hidden * num_out               # head MLP 3
+    )
+    return num_latents * per_z + (tail if with_tail else 0)
+
+
+# --------------------------------------------------------------------------- math
+
+
+class _Spec(NamedTuple):
+    """Hashable static configuration of the fused decode."""
+
+    num_heads: int
+    head_dim: int
+    out_dim: int       # H*D without tail, num_out with tail
+    with_tail: bool
+    compute_dtype: type
+    tile_c: int
+    tile_c_bwd: int
+    interpret: bool
+
+
+def _as2d(w):
+    w = w.astype(jnp.float32)
+    return w.reshape(1, -1) if w.ndim == 1 else w
+
+
+def _mm(x, w, dt):
+    """Matmul with f32 accumulation; operands cast to ``dt`` for the MXU."""
+    return jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+
+
+def _layernorm(x, scale, bias, dt):
+    """f32 LayerNorm; cross-lane VPU reductions measured faster here than routing the
+    stats through ones-matrix MXU matmuls (tried both on v5e; ``dt`` unused)."""
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + _LN_EPS)
     return (x - mean) * inv * scale + bias
 
 
-def _mm(x, w, dtype):
-    """Matmul with f32 accumulation; operands optionally cast to bf16 for the MXU."""
-    return jnp.dot(x.astype(dtype), w.astype(dtype), preferred_element_type=jnp.float32)
-
-
-def _rff_mlp(x, coeff, w1, b1, w2, b2, dtype):
+def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
     """RFFNet(num_layers=2): sin/cos features -> ReLU dense -> dense.
 
-    The RFF projection itself stays f32 (phases feed sin/cos); the wide hidden
-    matmuls run at ``dtype``.
+    The RFF phase projection stays f32 (phases feed sin/cos); the wide hidden
+    matmuls run at ``dt``. Coefficients are stop-gradient, matching the reference
+    (``embedding/rff.py``: ``learnable_coefficients=False``).
     """
+    coeff = jax.lax.stop_gradient(coeff)
     proj = (2 * jnp.pi) * jnp.dot(x, coeff, preferred_element_type=jnp.float32)
     h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
-    h = jnp.maximum(_mm(h, w1, dtype) + b1, 0.0)
-    return _mm(h, w2, dtype) + b2
+    h = jnp.maximum(_mm(h, w1, dt) + b1, 0.0)
+    return _mm(h, w2, dt) + b2
 
 
-def _decode_kernel(
-    num_heads: int,
-    head_dim: int,
-    num_latents: int,
-    compute_dtype,
-    with_tail: bool,
-    # refs
-    inv_ref, wb_ref, k_ref, v_ref, headblock_ref,
-    q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
-    v_coeff, v_w1, v_b1, v_w2, v_b2,
-    f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
-    m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2,
-    *tail_and_out,
-):
-    if with_tail:
-        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
-         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3, y_ref) = tail_and_out
-    else:
-        (y_ref,) = tail_and_out
-    """One (batch, coord-tile) step of the fused decode.
-
-    The latent axis is unrolled *inside* the program (z <= 25 in all experiments), so
-    the softmax over latents runs in registers — no cross-program accumulators and no
-    online-softmax bookkeeping. Per-head logit scalars are kept *expanded* over head
-    lanes ([C_T, H*D], replicated across each head's D lanes) so every array keeps
-    MXU/VPU-friendly 128-lane shapes; the expansion itself is one matmul with a
-    block-diagonal ones matrix (``headblock_ref``).
-    """
-    H, D = num_heads, head_dim
-    dt = compute_dtype
-    scale = 1.0 / np.sqrt(D)
-
-    m_run = None  # running max over latents [C_T, H*D]
-    att_all = []
-    v_all = []
-    for zi in range(num_latents):
-        inv = inv_ref[0, :, zi, :]  # [C_T, I]
-        wb = wb_ref[0, :, zi : zi + 1]  # [C_T, 1]
-        k_z = k_ref[0, zi, :, :]  # [1, H*D]
-        v_z = v_ref[0, zi, :, :]  # [1, H*D]
-
-        # --- query chain -----------------------------------------------------
-        q_emb = _rff_mlp(inv, q_coeff[:], q_w1[:], q_b1[:], q_w2[:], q_b2[:], dt)
-        q = _mm(q_emb, wq[:], dt) + bq[:]  # [C_T, H*D]
-
-        # --- FiLM-conditioned value chain --------------------------------------
-        v_emb = _rff_mlp(inv, v_coeff[:], v_w1[:], v_b1[:], v_w2[:], v_b2[:], dt)
-        t = jax.nn.gelu(_mm(v_emb, f_w1[:], dt) + f_b1[:])
-        t = _layernorm(t, f_ln_s[:], f_ln_b[:])
-        gamma_beta = _mm(t, f_w2[:], dt) + f_b2[:]  # [C_T, 2*H*D]
-        gamma = gamma_beta[:, : H * D]
-        beta = gamma_beta[:, H * D :]
-        v_cond = v_z * (1.0 + gamma) + beta  # [C_T, H*D]
-
-        # Per-head mixer MLP, heads unrolled (H is 2-3).
-        v_mixed_cols = []
-        for h in range(H):
-            sl = slice(h * D, (h + 1) * D)
-            vm = jax.nn.gelu(_mm(v_cond[:, sl], m_w1[:], dt) + m_b1[:])
-            vm = _layernorm(vm, m_ln_s[:], m_ln_b[:])
-            vm = _mm(vm, m_w2[:], dt) + m_b2[:]  # [C_T, D]
-            v_mixed_cols.append(vm)
-        v_all.append(jnp.concatenate(v_mixed_cols, axis=-1))  # [C_T, H*D]
-
-        # Per-head logits, expanded over head lanes (block-diagonal-ones matmul).
-        att = jnp.dot(q * k_z, headblock_ref[:], preferred_element_type=jnp.float32)
-        att = att * scale + wb  # [C_T, H*D]
-        att_all.append(att)
-        m_run = att if m_run is None else jnp.maximum(m_run, att)
-
-    # --- softmax over latents + weighted sum, in registers -------------------------
-    acc = jnp.zeros_like(att_all[0])
-    norm = jnp.zeros_like(att_all[0])
-    for zi in range(num_latents):
-        p_z = jnp.exp(att_all[zi] - m_run)
-        norm = norm + p_z
-        acc = acc + p_z * v_all[zi]
-    y = acc / norm
-
-    if not with_tail:
-        y_ref[0, :, :] = y
-        return
-
-    # --- fused decode tail: attn out-proj -> block FFN -> gelu -> head MLP ---------
-    # Keeping the tail in VMEM avoids ~6 HBM round trips of [b, c, H*D] activations.
-    y = _mm(y, o_w[:], dt) + o_b[:]
-    t = jax.nn.gelu(_mm(y, p_w1[:], dt) + p_b1[:])
-    t = _layernorm(t, p_ln_s[:], p_ln_b[:])
-    y = _mm(t, p_w2[:], dt) + p_b2[:]
-    y = jax.nn.gelu(y)
-    h = jax.nn.gelu(_mm(y, h_w1[:], dt) + h_b1[:])
-    h = jax.nn.gelu(_mm(h, h_w2[:], dt) + h_b2[:])
-    y_ref[0, :, :] = _mm(h, h_w3[:], dt) + h_b3[:]
+def _headblock(num_heads, head_dim, dt):
+    """Block-diagonal ones [H*D, H*D]: one matmul both sums q*k per head and
+    broadcasts the per-head scalar back over that head's lanes."""
+    hd = num_heads * head_dim
+    i = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // head_dim
+    j = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // head_dim
+    return (i == j).astype(dt)
 
 
-def _geom_kernel(
-    invariant,
-    use_window: bool,
-    num_heads: int,
-    head_dim: int,
-    num_latents: int,
-    compute_dtype,
-    with_tail: bool,
-    # refs
-    x_ref, p_ref, sig_ref, k_ref, v_ref, headblock_ref,
-    q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
-    v_coeff, v_w1, v_b1, v_w2, v_b2,
-    f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
-    m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2,
-    *tail_and_out,
-):
-    """Fully fused decode including geometry: invariants and Gaussian-window biases
-    are computed in VMEM from raw coordinates and latent poses, so the only HBM
-    inputs are x [C_T, d], poses, and the weights — nothing O(c*z) ever leaves VMEM.
-
-    The geometry object is a hashable static argument; its jnp ops trace directly
-    into the Mosaic kernel.
-    """
-    if with_tail:
-        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
-         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3, y_ref) = tail_and_out
-    else:
-        (y_ref,) = tail_and_out
-
-    H, D = num_heads, head_dim
-    dt = compute_dtype
-    scale = 1.0 / np.sqrt(D)
-
-    x_blk = x_ref[0, :, :]  # [C_T, d]
-    m_run = None
-    att_all, v_all = [], []
-    for zi in range(num_latents):
-        pz = p_ref[0, zi : zi + 1, :]  # [1, pose_dim]
-        inv = invariant(x_blk[None], pz[None])[0, :, 0, :]  # [C_T, I]
-        if use_window:
-            sz = sig_ref[0, zi : zi + 1, :]
-            wb = invariant.gaussian_window(x_blk[None], pz[None], sz[None])[0, :, 0, :]
-        else:
-            wb = jnp.zeros((x_blk.shape[0], 1), jnp.float32)
-        k_z = k_ref[0, zi, :, :]
-        v_z = v_ref[0, zi, :, :]
-
-        q_emb = _rff_mlp(inv, q_coeff[:], q_w1[:], q_b1[:], q_w2[:], q_b2[:], dt)
-        q = _mm(q_emb, wq[:], dt) + bq[:]
-
-        v_emb = _rff_mlp(inv, v_coeff[:], v_w1[:], v_b1[:], v_w2[:], v_b2[:], dt)
-        t = jax.nn.gelu(_mm(v_emb, f_w1[:], dt) + f_b1[:])
-        t = _layernorm(t, f_ln_s[:], f_ln_b[:])
-        gamma_beta = _mm(t, f_w2[:], dt) + f_b2[:]
-        v_cond = v_z * (1.0 + gamma_beta[:, : H * D]) + gamma_beta[:, H * D :]
-
-        v_mixed_cols = []
-        for h in range(H):
-            sl = slice(h * D, (h + 1) * D)
-            vm = jax.nn.gelu(_mm(v_cond[:, sl], m_w1[:], dt) + m_b1[:])
-            vm = _layernorm(vm, m_ln_s[:], m_ln_b[:])
-            v_mixed_cols.append(_mm(vm, m_w2[:], dt) + m_b2[:])
-        v_all.append(jnp.concatenate(v_mixed_cols, axis=-1))
-
-        att = jnp.dot(q * k_z, headblock_ref[:], preferred_element_type=jnp.float32)
-        att = att * scale + wb
-        att_all.append(att)
-        m_run = att if m_run is None else jnp.maximum(m_run, att)
-
-    acc = jnp.zeros_like(att_all[0])
-    norm = jnp.zeros_like(att_all[0])
-    for zi in range(num_latents):
-        p_z = jnp.exp(att_all[zi] - m_run)
-        norm = norm + p_z
-        acc = acc + p_z * v_all[zi]
-    y = acc / norm
-
-    if not with_tail:
-        y_ref[0, :, :] = y
-        return
-    y = _mm(y, o_w[:], dt) + o_b[:]
-    t = jax.nn.gelu(_mm(y, p_w1[:], dt) + p_b1[:])
-    t = _layernorm(t, p_ln_s[:], p_ln_b[:])
-    y = _mm(t, p_w2[:], dt) + p_b2[:]
-    y = jax.nn.gelu(y)
-    h = jax.nn.gelu(_mm(y, h_w1[:], dt) + h_b1[:])
-    h = jax.nn.gelu(_mm(h, h_w2[:], dt) + h_b2[:])
-    y_ref[0, :, :] = _mm(h, h_w3[:], dt) + h_b3[:]
-
-
-def fused_enf_decode_geom(
-    x: jnp.ndarray,
-    p: jnp.ndarray,
-    sigma: jnp.ndarray,
-    invariant,
-    use_window: bool,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    weights: Dict[str, jnp.ndarray],
-    num_heads: int,
-    head_dim: int,
-    tile_c: int = 512,
-    interpret: bool = False,
-    compute_dtype=jnp.bfloat16,
-    tail_weights: Dict[str, jnp.ndarray] | None = None,
-    num_out: int | None = None,
-) -> jnp.ndarray:
-    """Geometry-fused decode: inputs are raw coordinates and latent poses.
+def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
+    """Pure-jnp decode of one coordinate tile, latent axis batched into M.
 
     Args:
-        x: query coordinates [b, c, d].
-        p: latent poses (angles already embedded) [b, z, pose_dim].
-        sigma: per-latent window sizes [b, z, 1].
-        invariant: a geometry invariant (hashable; its jnp ops lower into the kernel).
-        Other args as in ``fused_enf_decode``.
+        inv3: bi-invariants [Z, T, I] (latent-major).
+        wb3: additive window bias [Z, T, 1].
+        k / v: latent keys/values [Z, H*D].
+        ws / tws: weight tuples in ``_WEIGHT_NAMES`` / ``_TAIL_WEIGHT_NAMES`` order.
+
+    Returns:
+        [T, H*D] attention output, or [T, num_out] with the tail.
     """
-    b, c, d = x.shape
-    z = p.shape[1]
-    hd = num_heads * head_dim
-    tile_c = min(tile_c, max(8, c))
-    pad_c = (-c) % tile_c
-    if pad_c:
-        x = jnp.pad(x, ((0, 0), (0, pad_c), (0, 0)))
-    cp = c + pad_c
+    H, D = spec.num_heads, spec.head_dim
+    HD = H * D
+    dt = spec.compute_dtype
+    (q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
+     v_coeff, v_w1, v_b1, v_w2, v_b2,
+     f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
+     m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+    Z, T, I = inv3.shape
+    inv2 = inv3.reshape(Z * T, I)
+    scale = 1.0 / np.sqrt(D)
 
-    headblock = jnp.kron(jnp.eye(num_heads), jnp.ones((head_dim, head_dim))).astype(jnp.float32)
-    with_tail = tail_weights is not None
-    kernel = functools.partial(
-        _geom_kernel, invariant, use_window, num_heads, head_dim, z, compute_dtype, with_tail
-    )
+    # Query chain: [Z*T, hid] -> [Z*T, H*D].
+    e_q = _rff_mlp(inv2, q_coeff, q_w1, q_b1, q_w2, q_b2, dt)
+    q = _mm(e_q, wq, dt) + bq
 
-    def _as2d(w):
-        w = w.astype(jnp.float32)
-        return w.reshape(1, -1) if w.ndim == 1 else w
+    # FiLM-conditioned value chain.
+    e_v = _rff_mlp(inv2, v_coeff, v_w1, v_b1, v_w2, v_b2, dt)
+    t = jax.nn.gelu(_mm(e_v, f_w1, dt) + f_b1)
+    t = _layernorm(t, f_ln_s, f_ln_b, dt)
+    gb3 = (_mm(t, f_w2, dt) + f_b2).reshape(Z, T, 2 * HD)
+    # Broadcast k/v over coordinates in 3D elementwise ops (a broadcast folded into a
+    # reshape would lower as a gather, which Mosaic rejects).
+    v_cond = (v[:, None, :] * (1.0 + gb3[..., :HD]) + gb3[..., HD:]).reshape(Z * T, HD)
 
-    w_list = [_as2d(weights[n]) for n in _WEIGHT_NAMES]
-    if with_tail:
-        w_list += [_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES]
-    w_specs = [
-        pl.BlockSpec(w.shape, (lambda nd: (lambda bi, ci: (0,) * nd))(w.ndim),
+    # Per-head mixer MLP; heads unrolled (H is 2-3), slices lane-aligned at D.
+    cols = []
+    for h in range(H):
+        sl = slice(h * D, (h + 1) * D)
+        vm = jax.nn.gelu(_mm(v_cond[:, sl], m_w1, dt) + m_b1)
+        vm = _layernorm(vm, m_ln_s, m_ln_b, dt)
+        cols.append(_mm(vm, m_w2, dt) + m_b2)
+    v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
+
+    # Logits, expanded over head lanes via the block-diagonal ones matmul.
+    qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
+    att = jnp.dot(qk.astype(dt), _headblock(H, D, dt),
+                  preferred_element_type=jnp.float32)
+
+    # Softmax over latents + weighted sum, f32. The window bias stays [Z, T, 1] and
+    # broadcasts over head lanes.
+    att3 = att.reshape(Z, T, HD) * scale + wb3
+    m = jnp.max(att3, axis=0)
+    pr = jnp.exp(att3 - m)
+    norm = jnp.sum(pr, axis=0)
+    y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm  # [T, H*D]
+
+    if not spec.with_tail:
+        return y
+
+    # Fused decode tail: attn out-proj -> block FFN -> gelu -> 3-layer MLP head.
+    (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+     h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
+    y = _mm(y, o_w, dt) + o_b
+    t = jax.nn.gelu(_mm(y, p_w1, dt) + p_b1)
+    t = _layernorm(t, p_ln_s, p_ln_b, dt)
+    y = jax.nn.gelu(_mm(t, p_w2, dt) + p_b2)
+    h = jax.nn.gelu(_mm(y, h_w1, dt) + h_b1)
+    h = jax.nn.gelu(_mm(h, h_w2, dt) + h_b2)
+    return _mm(h, h_w3, dt) + h_b3
+
+
+def _reference_decode(spec: _Spec, inv, wb, k, v, ws, tws):
+    """Whole-array XLA composition of the same math (second-order path + oracle).
+
+    ``inv`` is latent-major [b, Z, C, I]; ``wb`` is [b, Z, C, 1].
+    """
+
+    def per_b(inv_b, wb_b, kb, vb):
+        return _tile_decode(spec, inv_b, wb_b, kb, vb, ws, tws)
+
+    return jax.vmap(per_b)(inv, wb, k, v)
+
+
+# ------------------------------------------------------------------- pallas: fwd
+
+
+def _const_specs(arrs):
+    return [
+        pl.BlockSpec(a.shape, (lambda nd: (lambda bi, ci: (0,) * nd))(a.ndim),
                      memory_space=pltpu.VMEM)
-        for w in w_list
+        for a in arrs
     ]
 
-    out_dim = num_out if with_tail else hd
-    y = pl.pallas_call(
-        kernel,
-        grid=(b, cp // tile_c),
+
+def _fwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, *rest):
+    *w_refs, y_ref = rest
+    ws = tuple(r[:] for r in w_refs[:_N_W])
+    tws = tuple(r[:] for r in w_refs[_N_W:])
+    y_ref[0] = _tile_decode(spec, inv_ref[0], wb_ref[0], k_ref[0], v_ref[0], ws, tws)
+
+
+def _fwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws):
+    b, z, cp, i = inv.shape
+    hd = spec.num_heads * spec.head_dim
+    tile = spec.tile_c
+    w_list = list(ws) + list(tws)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid=(b, cp // tile),
         in_specs=[
-            pl.BlockSpec((1, tile_c, d), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, p.shape[-1]), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, 1), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, hd), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
-            *w_specs,
+            pl.BlockSpec((1, z, tile, i), lambda bi, ci: (bi, 0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, tile, 1), lambda bi, ci: (bi, 0, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, hd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, hd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            *_const_specs(w_list),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_c, out_dim), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
+            (1, tile, spec.out_dim), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, cp, out_dim), jnp.float32),
-        interpret=interpret,
-    )(
-        x.astype(jnp.float32),
-        p.astype(jnp.float32),
-        sigma.astype(jnp.float32),
-        k[:, :, None, :].astype(jnp.float32),
-        v[:, :, None, :].astype(jnp.float32),
-        headblock,
-        *w_list,
+        out_shape=jax.ShapeDtypeStruct((b, cp, spec.out_dim), jnp.float32),
+        interpret=spec.interpret,
+    )(inv, wb, k, v, *w_list)
+
+
+# ------------------------------------------------------------------- pallas: bwd
+
+
+def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, g_ref, *rest):
+    n_in = _N_W + (len(_TAIL_WEIGHT_NAMES) if spec.with_tail else 0)
+    w_refs = rest[:n_in]
+    dinv_ref, dwb_ref, dk_ref, dv_ref, *dw_refs = rest[n_in:]
+    ws = tuple(r[:] for r in w_refs[:_N_W])
+    tws = tuple(r[:] for r in w_refs[_N_W:])
+    g = g_ref[0]
+
+    def f(inv3, wb3, kk, vv, ws, tws):
+        return _tile_decode(spec, inv3, wb3, kk, vv, ws, tws)
+
+    _, vjp = jax.vjp(f, inv_ref[0], wb_ref[0], k_ref[0], v_ref[0], ws, tws)
+    dinv, dwb, dk, dv, dws, dtws = vjp(g)
+    dw_all = list(dws) + list(dtws)
+
+    dinv_ref[0] = dinv
+    dwb_ref[0] = dwb
+
+    first_tile = pl.program_id(1) == 0
+    first_all = jnp.logical_and(pl.program_id(0) == 0, first_tile)
+
+    @pl.when(first_tile)
+    def _():
+        dk_ref[0] = dk
+        dv_ref[0] = dv
+
+    @pl.when(jnp.logical_not(first_tile))
+    def _():
+        dk_ref[0] += dk
+        dv_ref[0] += dv
+
+    @pl.when(first_all)
+    def _():
+        for r, dw in zip(dw_refs, dw_all):
+            r[...] = dw
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        for r, dw in zip(dw_refs, dw_all):
+            r[...] += dw
+
+
+def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
+    b, z, cp, i = inv.shape
+    hd = spec.num_heads * spec.head_dim
+    tile = spec.tile_c_bwd
+    w_list = list(ws) + list(tws)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, z, cp, i), jnp.float32),
+        jax.ShapeDtypeStruct((b, z, cp, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, z, hd), jnp.float32),
+        jax.ShapeDtypeStruct((b, z, hd), jnp.float32),
+        *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w_list],
     )
-    return y[:, :c]
+    lat_spec = lambda n: pl.BlockSpec((1, z, n), lambda bi, ci: (bi, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    tile4 = lambda n: pl.BlockSpec((1, z, tile, n), lambda bi, ci: (bi, 0, ci, 0),
+                                   memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid=(b, cp // tile),
+        in_specs=[
+            tile4(i),
+            tile4(1),
+            lat_spec(hd),
+            lat_spec(hd),
+            pl.BlockSpec((1, tile, spec.out_dim), lambda bi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            *_const_specs(w_list),
+        ],
+        out_specs=(
+            tile4(i), tile4(1), lat_spec(hd), lat_spec(hd), *_const_specs(w_list),
+        ),
+        out_shape=out_shapes,
+        interpret=spec.interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(inv, wb, k, v, g, *w_list)
+    dinv, dwb, dk, dv = outs[:4]
+    dws = tuple(outs[4 : 4 + _N_W])
+    dtws = tuple(outs[4 + _N_W :]) if tws else ()
+    return dinv, dwb, dk, dv, dws, dtws
+
+
+# --------------------------------------------------------- custom VJP (2nd order)
+#
+# Layering (bottom-up):
+#
+# - `_fwd_op` / `_bwd_op`: each Pallas kernel wrapped in a `custom_jvp` whose tangent
+#   rule runs the XLA composition of the same math. JAX's linearizer cannot see
+#   inside a `pallas_call`, so when higher-order autodiff inlines the custom-VJP
+#   fwd/bwd bodies (jax >= 0.9 direct linearization), these wrappers keep the bodies
+#   linearizable: primal values come from the kernels, tangents (and their
+#   transposes, i.e. second-order gradients) from XLA.
+# - `_op`: the `custom_vjp` pairing the two kernels, so plain reverse-mode (training
+#   steps, inference-time latent fitting) is fully Pallas fwd + bwd.
+#
+# Net effect: first-order fwd+bwd run the fused kernels; the meta-SGD outer gradient
+# through the inner loop (grad-of-grad) falls back to XLA exactly where second-order
+# terms are required — numerically the same math either way (same `_tile_decode`).
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _fwd_op(spec: _Spec, inv, wb, k, v, ws, tws):
+    return _fwd_pallas(spec, inv, wb, k, v, ws, tws)
+
+
+@_fwd_op.defjvp
+def _fwd_op_jvp(spec, primals, tangents):
+    y = _fwd_pallas(spec, *primals)
+    _, y_dot = jax.jvp(lambda *args: _reference_decode(spec, *args), primals, tangents)
+    return y, y_dot
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
+def _bwd_op(spec: _Spec, inv, wb, k, v, ws, tws, g):
+    return _bwd_pallas(spec, inv, wb, k, v, ws, tws, g)
+
+
+@_bwd_op.defjvp
+def _bwd_op_jvp(spec, primals, tangents):
+    out = _bwd_pallas(spec, *primals)
+
+    def ref_grads(inv, wb, k, v, ws, tws, g):
+        _, vjp = jax.vjp(
+            lambda *args: _reference_decode(spec, *args), inv, wb, k, v, ws, tws
+        )
+        return vjp(g)
+
+    _, out_dot = jax.jvp(ref_grads, primals, tangents)
+    return out, out_dot
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _op(spec: _Spec, inv, wb, k, v, ws, tws):
+    return _fwd_op(spec, inv, wb, k, v, ws, tws)
+
+
+def _op_fwd(spec, inv, wb, k, v, ws, tws):
+    y = _fwd_op(spec, inv, wb, k, v, ws, tws)
+    return y, (inv, wb, k, v, ws, tws)
+
+
+def _op_bwd(spec, res, g):
+    return _bwd_op(spec, *res, g)
+
+
+_op.defvjp(_op_fwd, _op_bwd)
+
+
+# ----------------------------------------------------------------- public entry
 
 
 def fused_enf_decode(
@@ -447,98 +543,81 @@ def fused_enf_decode(
     num_heads: int,
     head_dim: int,
     tile_c: int = 512,
+    tile_c_bwd: int = 64,
     interpret: bool = False,
     compute_dtype=jnp.bfloat16,
     layout: str = "bczi",
     tail_weights: Dict[str, jnp.ndarray] | None = None,
     num_out: int | None = None,
 ) -> jnp.ndarray:
-    """Fused decode: attention output ``[b, c, H*D]``, or with ``tail_weights`` the
-    *complete* field decode ``[b, c, num_out]`` (attention out-projection, block FFN,
-    gelu, and the 3-layer MLP head all fused in VMEM).
+    """Fused ENF decode with full (second-order capable) autodiff.
 
     Args:
         inv: bi-invariants, [b, c, z, I] (layout="bczi") or latent-major
-            [b, z, c, I] (layout="bzci" — preferred; avoids an HBM transpose).
+            [b, z, c, I] (layout="bzci" — the kernel's native layout; the bczi
+            transpose fuses into the XLA producer).
         window_bias: additive logit bias, [b, c, z] resp. [b, z, c] (zeros when
             windows are off).
         k / v: latent keys/values [b, z, H*D].
         weights: see ``extract_attention_weights``.
         num_heads / head_dim: H and D (D == num_hidden).
-        tile_c: coordinate tile size (multiple of 8).
-        interpret: run in the Pallas interpreter (for CPU tests).
-        compute_dtype: operand dtype for the wide hidden matmuls (f32 accumulate).
-            bfloat16 keeps the MXU at full rate; pass jnp.float32 for strict parity.
-    """
-    if layout == "bzci":  # latent-major callers: restore the natural layout
-        inv = jnp.transpose(inv, (0, 2, 1, 3))
-        window_bias = jnp.transpose(window_bias, (0, 2, 1))
-    elif layout != "bczi":
-        raise ValueError(f"unknown layout {layout!r}")
-    b, c, z, i = inv.shape
-    hd = num_heads * head_dim
-    tile_c = min(tile_c, max(8, c))
+        tile_c / tile_c_bwd: coordinate tile sizes of the forward / backward kernels
+            (the backward holds VJP residuals in VMEM, so it tiles finer).
+        interpret: run in the Pallas interpreter (CPU tests).
+        compute_dtype: MXU operand dtype; pass ``jnp.float32`` for strict parity.
+        tail_weights / num_out: fuse the decode tail (out-projection, block FFN, MLP
+            head); output becomes [b, c, num_out].
 
-    pad_c = (-c) % tile_c
-    if pad_c:
-        inv = jnp.pad(inv, ((0, 0), (0, pad_c), (0, 0), (0, 0)))
-        window_bias = jnp.pad(window_bias, ((0, 0), (0, pad_c), (0, 0)))
-    cp = c + pad_c
+    Returns:
+        [b, c, H*D] attention output, or [b, c, num_out] with the tail.
+    """
+    if layout == "bczi":
+        inv = jnp.swapaxes(inv, 1, 2)
+        window_bias = jnp.swapaxes(window_bias, 1, 2)
+    elif layout != "bzci":
+        raise ValueError(f"unknown layout {layout!r}")
+    b, z, c, i = inv.shape
+    hd = num_heads * head_dim
+    with_tail = tail_weights is not None
+
+    # Pad coordinates to a tile multiple (zero invariants decode to finite garbage
+    # that is sliced off; zero cotangents keep padded rows grad-silent).
+    tile_bwd = min(tile_c_bwd, -(-c // 8) * 8)
+    tile = max(tile_bwd, min(tile_c, -(-c // tile_bwd) * tile_bwd))
+    tile = -(-tile // tile_bwd) * tile_bwd  # keep fwd/bwd tilings aligned
+    pad = (-c) % tile
+    if pad:
+        inv = jnp.pad(inv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        window_bias = jnp.pad(window_bias, ((0, 0), (0, 0), (0, pad)))
 
     # Pad the invariant feature dim to at least 8 lanes (zero rows in the RFF
-    # coefficients contribute nothing).
+    # coefficients contribute nothing; their grads are stop_gradient zeros anyway).
     i_pad = max(8, i)
     weights = dict(weights)
     if i_pad != i:
         inv = jnp.pad(inv, ((0, 0), (0, 0), (0, 0), (0, i_pad - i)))
         for name in ("q_coeff", "v_coeff"):
-            wcoef = weights[name]
-            weights[name] = jnp.pad(wcoef, ((0, i_pad - i), (0, 0)))
+            weights[name] = jnp.pad(weights[name], ((0, i_pad - i), (0, 0)))
 
-    inv_t = inv  # [B, C, Z, I] (natural layout; the kernel slices z in VMEM)
-    wb_t = window_bias  # [B, C, Z]
-    k_r = k[:, :, None, :]  # [B, Z, 1, H*D]
-    v_r = v[:, :, None, :]
-
-    # Block-diagonal ones: expands per-head logit sums over that head's lanes.
-    headblock = jnp.kron(jnp.eye(num_heads), jnp.ones((head_dim, head_dim))).astype(jnp.float32)
-
-    with_tail = tail_weights is not None
-    kernel = functools.partial(
-        _decode_kernel, num_heads, head_dim, z, compute_dtype, with_tail
-    )
-
-    def _as2d(w):
-        w = w.astype(jnp.float32)
-        return w.reshape(1, -1) if w.ndim == 1 else w
-
-    w_list = [_as2d(weights[n]) for n in _WEIGHT_NAMES]
-    if with_tail:
-        w_list += [_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES]
-    w_specs = [
-        pl.BlockSpec(w.shape, (lambda nd: (lambda bi, ci: (0,) * nd))(w.ndim),
-                     memory_space=pltpu.VMEM)
-        for w in w_list
-    ]
-
-    out_dim = num_out if with_tail else hd
-    grid = (b, cp // tile_c)
-    y = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_c, z, i_pad), lambda bi, ci: (bi, ci, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_c, z), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, 1, hd), lambda bi, ci: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hd, hd), lambda bi, ci: (0, 0), memory_space=pltpu.VMEM),
-            *w_specs,
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile_c, out_dim), lambda bi, ci: (bi, ci, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, cp, out_dim), jnp.float32),
+    spec = _Spec(
+        num_heads=num_heads,
+        head_dim=head_dim,
+        out_dim=(num_out if with_tail else hd),
+        with_tail=with_tail,
+        compute_dtype=compute_dtype,
+        tile_c=tile,
+        tile_c_bwd=tile_bwd,
         interpret=interpret,
-    )(inv_t.astype(jnp.float32), wb_t.astype(jnp.float32), k_r.astype(jnp.float32),
-      v_r.astype(jnp.float32), headblock, *w_list)
+    )
+    ws = tuple(_as2d(weights[n]) for n in _WEIGHT_NAMES)
+    tws = tuple(_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES) if with_tail else ()
+    y = _op(
+        spec,
+        inv.astype(jnp.float32),
+        window_bias[..., None].astype(jnp.float32),
+        k.astype(jnp.float32),
+        v.astype(jnp.float32),
+        ws,
+        tws,
+    )
     return y[:, :c]

@@ -1,6 +1,7 @@
 """Fused Pallas decode kernel vs the XLA attention oracle (interpret mode on CPU)."""
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -123,3 +124,83 @@ def test_full_decoder_parity_pallas():
     ref = ref_dec.apply(params, x, p, a, w)
     out = mk("pallas_interpret").apply(params, x, p, a, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=3e-5)
+
+
+# ------------------------------------------------------------------- gradients
+
+
+def _mk_decoder(backend, num_out=3):
+    ca = sa = RelativePositionPeriodic(2)
+    return EnfDecoder(
+        num_hidden=D,
+        num_heads=H,
+        num_layers=0,
+        num_out=num_out,
+        latent_dim=LAT,
+        cross_attn_invariant=ca,
+        self_attn_invariant=sa,
+        embedding_type="rff",
+        embedding_freq_multiplier=(0.5, 2.0),
+        condition_value_transform=True,
+        use_gaussian_window=True,
+        backend=backend,
+    )
+
+
+def _grad_setup():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, N, 2), minval=-1, maxval=1)
+    lat = init_latents(B, Z, LAT, num_pos_dims=2, num_ori_dims=0)
+    p, a, w = latents_to_pose(lat)
+    p = p + 0.05 * jax.random.normal(jax.random.PRNGKey(3), p.shape)
+    a = a + 0.1 * jax.random.normal(jax.random.PRNGKey(4), a.shape)
+    target = jax.random.normal(jax.random.PRNGKey(5), (B, N, 3))
+    params = _mk_decoder("xla").init(jax.random.PRNGKey(1), x, p, a, w)
+    return x, p, a, w, target, params
+
+
+def test_kernel_grad_parity_first_order():
+    """Custom-VJP grads (params, poses, contexts, windows) match the XLA backend."""
+    x, p, a, w, target, params = _grad_setup()
+
+    def loss(backend):
+        dec = _mk_decoder(backend)
+
+        def fn(params, p, a, w):
+            out = dec.apply(params, x, p, a, w)
+            return jnp.mean((out - target) ** 2)
+
+        return jax.grad(fn, argnums=(0, 1, 2, 3))(params, p, a, w)
+
+    g_ref = loss("xla")
+    g_pal = loss("pallas_interpret")
+    flat_ref, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_pal, _ = jax.flatten_util.ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(flat_pal), np.asarray(flat_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_grad_parity_second_order():
+    """Meta-SGD pattern: outer grad through an inner latent-SGD step matches XLA."""
+    x, p, a, w, target, params = _grad_setup()
+
+    def outer(backend):
+        dec = _mk_decoder(backend)
+
+        def inner_loss(latents, params):
+            out = dec.apply(params, x, *latents)
+            return jnp.mean((out - target) ** 2)
+
+        def outer_loss(params):
+            latents = (p, a, w)
+            g = jax.grad(inner_loss)(latents, params)
+            latents = jax.tree.map(lambda l, gi: l - 0.5 * gi, latents, g)
+            return inner_loss(latents, params)
+
+        return jax.grad(outer_loss)(params)
+
+    g_ref = outer("xla")
+    g_pal = outer("pallas_interpret")
+    flat_ref, _ = jax.flatten_util.ravel_pytree(g_ref)
+    flat_pal, _ = jax.flatten_util.ravel_pytree(g_pal)
+    # Second-order values mix the kernel's in-VJP math with flax-module math whose
+    # f32 op order differs (e.g. layernorm variance); tolerate that rounding.
+    np.testing.assert_allclose(np.asarray(flat_pal), np.asarray(flat_ref), rtol=2e-3, atol=1e-3)
