@@ -92,7 +92,7 @@ def _super_resolution_eval(cfg, state, decoder, ode_model, logger):
     hi_trainer = MetaSGDTrainer(hi_cfg, decoder, ode_model, hi_train.coords, seed=cfg.seed)
     mse_in, mse_out, n = 0.0, 0.0, 0
     for batch in hi_test:
-        a, b = hi_trainer.val_step(state, np.asarray(batch[0]))
+        a, b = hi_trainer.val_step(state, np.asarray(batch[0]), n)
         mse_in += float(a)
         mse_out += float(b)
         n += 1
@@ -136,22 +136,42 @@ def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader
 
 
 def _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, epoch):
-    """Re-fit fresh val latents per dropout rate, then measure rollout MSE."""
+    """Re-fit fresh latents per dropout rate on BOTH splits, then measure rollout MSE.
+
+    Mirrors reference ``nonmaml_pde_trainer.py:399-548``: stored-code train metrics
+    (``train_mse_*_sc``), then for each dropout rate a from-scratch latent re-fit on
+    the val split and on the train split.
+    """
     import jax.numpy as jnp
 
-    metrics = {"epoch": epoch} if isinstance(epoch, int) else {}
-    refit_epochs = min(cfg.training.nef.train_until_epoch, cfg.get_path("test.refit_epochs", 100))
-    for dp in (0.0, 0.05, 0.1, 0.5):
-        val_state = trainer.refit_latents(state, test_loader, num_epochs=refit_epochs, dp=dp)
+    def _rollout_mse(st, loader):
         mse_in, mse_out, n = 0.0, 0.0, 0
-        for traj, _, idx in test_loader:
-            a, b = trainer.val_step(val_state, jnp.asarray(traj), jnp.asarray(idx))
+        for traj, _, idx in loader:
+            a, b = trainer.val_step(st, jnp.asarray(traj), jnp.asarray(idx))
             mse_in += float(a)
             mse_out += float(b)
             n += 1
+        return mse_in / max(n, 1), mse_out / max(n, 1)
+
+    metrics = {"epoch": epoch} if isinstance(epoch, int) else {}
+    # Stored-code train metrics (reference logs these as `train_mse_*_sc`).
+    sc_in, sc_out = _rollout_mse(state, train_loader)
+    metrics["train_mse_in_t_sc"] = sc_in
+    metrics["train_mse_out_t_sc"] = sc_out
+
+    refit_epochs = min(cfg.training.nef.train_until_epoch, cfg.get_path("test.refit_epochs", 100))
+    refit_train = cfg.get_path("test.refit_train_split", True)
+    for dp in (0.0, 0.05, 0.1, 0.5):
         tag = "" if dp == 0 else f"_dp{dp}"
-        metrics[f"val_mse_in_t{tag}"] = mse_in / max(n, 1)
-        metrics[f"val_mse_out_t{tag}"] = mse_out / max(n, 1)
+        val_state = trainer.refit_latents(state, test_loader, num_epochs=refit_epochs, dp=dp)
+        v_in, v_out = _rollout_mse(val_state, test_loader)
+        metrics[f"val_mse_in_t{tag}"] = v_in
+        metrics[f"val_mse_out_t{tag}"] = v_out
+        if refit_train:
+            tr_state = trainer.refit_latents(state, train_loader, num_epochs=refit_epochs, dp=dp)
+            t_in, t_out = _rollout_mse(tr_state, train_loader)
+            metrics[f"train_mse_in_t{tag}"] = t_in
+            metrics[f"train_mse_out_t{tag}"] = t_out
     logger.log(metrics, echo=True)
 
 

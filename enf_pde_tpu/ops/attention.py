@@ -156,13 +156,13 @@ class EquivariantCrossAttention(nn.Module):
         q = q.reshape(q.shape[:-1] + (H, D))
         k = k.reshape(k.shape[:-1] + (H, D))
 
-        # Per-(coordinate, latent, head) logits: 'bczhd,bzhd->bczh'.
+        # Per-(coordinate, latent, head) logits.
         att = (q * k[:, None, ...]).sum(axis=-1) * self.scale
         if self.use_gaussian_window:
             att = att + self.invariant.gaussian_window(x, p, sigma=window_sigma)
         att = softmax(att, axis=-2)  # normalize over latents
 
-        y = (att[..., None] * v).sum(axis=2)  # 'bczh,bczhd->bchd'
+        y = (att[..., None] * v).sum(axis=2)  # contract the latent axis
         y = y.reshape(*y.shape[:2], H * D)
         return self.out_proj(y)
 

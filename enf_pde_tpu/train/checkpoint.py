@@ -55,6 +55,18 @@ class CheckpointManager:
         )
         return restored["state"]
 
+    def restore_config(self, epoch: Optional[int] = None) -> dict:
+        """Restore the config saved alongside the state (reference
+        ``_base_pde_trainer.py:203-237`` restores both; a resumed run must not
+        silently trust the caller's config)."""
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("No checkpoint found.")
+        restored = self._mgr.restore(
+            step, args=ocp.args.Composite(config=ocp.args.JsonRestore())
+        )
+        return restored["config"]
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -47,6 +47,16 @@ class MetricLogger:
             )
             print(parts, file=sys.stderr)
 
+    def log_image(self, name: str, path: str, step: Optional[int] = None):
+        """Record a figure: path in the JSONL stream, image upload when wandb is on."""
+        record = {"t": round(time.time() - self._t0, 3), name: path}
+        if step is not None:
+            record["step"] = step
+        self._fh.write(json.dumps(record) + "\n")
+        self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(path)}, step=step)
+
     def close(self):
         self._fh.close()
         if self._wandb is not None:

@@ -79,7 +79,8 @@ class TrainLoop:
     def _eval_loader(self, state, loader, step_fn):
         mse_in, mse_out, n = 0.0, 0.0, 0
         for batch in loader:
-            a, b = step_fn(state, self._batch_traj(batch))
+            # The batch index decorrelates inner-loop coordinate masks across batches.
+            a, b = step_fn(state, self._batch_traj(batch), n)
             mse_in += float(a)
             mse_out += float(b)
             n += 1
@@ -140,6 +141,54 @@ class TrainLoop:
             echo=True,
         )
 
+    def visualize_epoch(self, state: TrainState, epoch: int):
+        """Rollout figure: fit frame 0, roll out, decode, plot GT/pred/error panels.
+
+        Parity with the reference's wandb figure logging during training
+        (``_base_pde_trainer.py:574-729``), dispatched on the coordinate system.
+        """
+        import os
+
+        import jax.numpy as jnp
+
+        from enf_pde_tpu.models.decoder import decode_chunked
+        from enf_pde_tpu.utils import visualization as viz
+
+        cfg = self.cfg
+        batch = next(iter(self.val_loader))
+        traj = np.asarray(self._batch_traj(batch))
+        t_total = min(
+            cfg.dataset.traj_len_train + cfg.dataset.traj_len_out_horizon, traj.shape[1]
+        )
+        traj = traj[:1, :t_total]
+
+        fitted = self.trainer.fit_latents(state, jnp.asarray(traj[:, 0]))
+        sol = self.trainer.rollout_latents(state, fitted, t_total)
+        p_fl, a_fl, w_fl = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), sol)
+        coords = self.trainer.coords
+        xs = jnp.broadcast_to(coords[None], (p_fl.shape[0], *coords.shape))
+        recon = decode_chunked(
+            self.trainer.eval_decoder.apply,
+            state.params["nef"],
+            xs,
+            p_fl,
+            a_fl,
+            w_fl,
+            chunk_size=cfg.training.max_num_sampled_points,
+        )
+        pred = np.asarray(recon).reshape(traj.shape)
+
+        out_path = os.path.join(self.logger.log_dir, "figures", f"rollout_epoch{epoch:05d}.png")
+        cs = self.trainer.coordinate_system
+        if cs == "cartesian":
+            viz.plot_planar_rollout(traj[0], pred[0], out_path, p_traj=np.asarray(sol[0][0]))
+        elif cs == "polar":
+            viz.plot_sphere_rollout(traj[0], pred[0], out_path)
+        else:
+            viz.plot_ball_rollout(traj[0], pred[0], out_path)
+        self.logger.log_image("rollout_figure", out_path, step=self.global_step)
+        return out_path
+
     def validate_epoch_dp(self, state: TrainState, epoch: int):
         metrics = {"epoch": epoch}
         for dp, fn in self.trainer.val_step_dp.items():
@@ -156,6 +205,37 @@ class TrainLoop:
             )
         self.logger.log(metrics, step=self.global_step, echo=True)
 
+    def _check_resumed_config(self, epoch: int):
+        """Compare the config saved in the checkpoint against the live one.
+
+        The reference restores the stored JSON config alongside the state
+        (``_base_pde_trainer.py:203-237``); here the model is already built, so a
+        divergence is surfaced loudly instead of silently trusting the caller.
+        Logging paths may legitimately differ between runs.
+        """
+        try:
+            saved = self.checkpoints.restore_config(epoch)
+        except Exception:
+            return
+        live = self.cfg.to_dict()
+
+        def flat(d, prefix=""):
+            for k, v in sorted(d.items()):
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    yield from flat(v, key + ".")
+                else:
+                    yield key, v
+
+        saved_flat = dict(flat(saved))
+        diffs = {
+            k: (saved_flat.get(k), v)
+            for k, v in flat(live)
+            if not k.startswith("logging.") and saved_flat.get(k) != v
+        }
+        if diffs:
+            print(f"[loop] WARNING: resumed config differs from checkpoint: {diffs}")
+
     def run(self, num_epochs: int, state: Optional[TrainState] = None) -> TrainState:
         if state is None:
             state = self.trainer.init_state()
@@ -165,9 +245,11 @@ class TrainLoop:
             if latest is not None:
                 state = self.checkpoints.restore(state)
                 start_epoch = latest + 1
+                self._check_resumed_config(latest)
                 print(f"[loop] resumed from epoch {latest}")
 
         t_start = time.time()
+        viz_every = self.cfg.get_path("logging.visualize_every_n_epochs", 0)
         for epoch in range(start_epoch, num_epochs + 1):
             state = self.train_epoch(state, epoch)
             if self.checkpoints is not None:
@@ -176,6 +258,11 @@ class TrainLoop:
                 self.validate_epoch(state, epoch)
             if epoch % self.cfg.test.test_dp_interval == 0:
                 self.validate_epoch_dp(state, epoch)
+            if viz_every and epoch % viz_every == 0:
+                try:
+                    self.visualize_epoch(state, epoch)
+                except Exception as e:  # figures must never kill a training run
+                    print(f"[loop] visualization failed: {e!r}")
         self.logger.log({"train_wall_s": time.time() - t_start}, step=self.global_step)
         if self.checkpoints is not None:
             self.checkpoints.wait()

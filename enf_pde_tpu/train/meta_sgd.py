@@ -242,11 +242,12 @@ class MetaSGDTrainer:
 
     # ------------------------------------------------------------------ validation
 
-    def _val_step(self, state: TrainState, trajectory, dp: float = 0.0):
+    def _val_step(self, state: TrainState, trajectory, batch_idx=0, dp: float = 0.0):
         """Fit frame 0, roll out over train + out horizon, decode all coords, MSE split.
 
         Fully jitted (chunked decode is a lax.map), unlike the reference's Python
-        chunk loop (``pde_trainer.py:544-553``).
+        chunk loop (``pde_trainer.py:544-553``). ``batch_idx`` decorrelates the
+        inner-loop coordinate masks across validation batches.
         """
         cfg = self.cfg
         T_in = cfg.dataset.traj_len_train
@@ -256,7 +257,7 @@ class MetaSGDTrainer:
         trajectory = trajectory[:, :T_total]
         b = trajectory.shape[0]
 
-        loss_key, _ = jax.random.split(state.rng)
+        loss_key = jax.random.fold_in(state.rng, batch_idx)
         _, fitted = self.inner_loop(
             state.params["nef"],
             state.params["meta_sgd_lrs"],

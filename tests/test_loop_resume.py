@@ -29,6 +29,7 @@ def _make_loop(cfg, tmp_path, trainer=None):
     return trainer, TrainLoop(trainer, loader, loader, logger, ckpt)
 
 
+@pytest.mark.slow
 def test_loop_runs_and_resumes(tmp_path):
     cfg = tiny_cfg()
     cfg.training.num_epochs = 2
@@ -55,3 +56,20 @@ def test_loop_runs_and_resumes(tmp_path):
     # Metrics landed in the JSONL log.
     metrics = (tmp_path / "logs" / "metrics.jsonl").read_text().strip().splitlines()
     assert any("train_mse_epoch" in line for line in metrics)
+
+    # The checkpoint stores the config alongside the state and restore surfaces it.
+    saved = loop2.checkpoints.restore_config()
+    assert saved["training"]["num_epochs"] == cfg2.training.num_epochs
+
+
+def test_visualize_epoch_writes_figure(tmp_path):
+    import os
+
+    cfg = tiny_cfg()
+    cfg.set_path("logging.log_dir", str(tmp_path / "logs"))
+    trainer, loop = _make_loop(cfg, tmp_path)
+    state = trainer.init_state()
+    path = loop.visualize_epoch(state, epoch=1)
+    assert os.path.exists(path)
+    metrics = (tmp_path / "logs" / "metrics.jsonl").read_text()
+    assert "rollout_figure" in metrics

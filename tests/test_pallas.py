@@ -158,6 +158,7 @@ def _grad_setup():
     return x, p, a, w, target, params
 
 
+@pytest.mark.slow
 def test_kernel_grad_parity_first_order():
     """Custom-VJP grads (params, poses, contexts, windows) match the XLA backend."""
     x, p, a, w, target, params = _grad_setup()
@@ -178,6 +179,7 @@ def test_kernel_grad_parity_first_order():
     np.testing.assert_allclose(np.asarray(flat_pal), np.asarray(flat_ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_kernel_grad_parity_second_order():
     """Meta-SGD pattern: outer grad through an inner latent-SGD step matches XLA."""
     x, p, a, w, target, params = _grad_setup()

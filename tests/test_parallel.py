@@ -46,6 +46,7 @@ def test_mesh_creation():
     assert mesh.axis_names == ("data",)
 
 
+@pytest.mark.slow
 def test_sharded_nef_step_matches_single_device(setup):
     cfg, trainer, state, traj = setup
     mesh = make_mesh()

@@ -148,6 +148,7 @@ def test_nef_step_improves_and_updates(setup):
     assert float(moved) > 0
 
 
+@pytest.mark.slow
 def test_ode_and_dual_steps_run(setup):
     _, trainer, state, traj = setup
     loss_o, s = trainer.ode_train_step(_copy(state), traj)
@@ -180,6 +181,7 @@ def test_phase_scheduling(setup):
     assert ode and not nef and step is trainer.ode_train_step
 
 
+@pytest.mark.slow
 def test_second_order_grads_through_inner_loop(setup):
     """Outer grads w.r.t. nef params must include the path through inner updates.
 

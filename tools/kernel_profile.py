@@ -1,0 +1,133 @@
+"""Ablation timing of the fused decode kernel phases on real TPU hardware.
+
+Monkeypatches ``pallas_decode._tile_decode`` with variants that skip phases
+(transcendentals, layernorms, softmax, tail) to locate the bottleneck. Run on the
+TPU: ``python tools/kernel_profile.py [variant ...]``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from enf_pde_tpu.ops import pallas_decode as pd
+
+B, Z, C, I, HID, H, D, OUT = 480, 4, 4096, 8, 128, 2, 128, 1
+HDIM = H * D
+
+
+def _rand_weights(key):
+    ks = iter(jax.random.split(key, 40))
+    shapes = {
+        "q_coeff": (I, HID // 2), "q_w1": (HID, HID), "q_b1": (HID,),
+        "q_w2": (HID, HID), "q_b2": (HID,), "wq": (HID, HDIM), "bq": (HDIM,),
+        "v_coeff": (I, HID // 2), "v_w1": (HID, HID), "v_b1": (HID,),
+        "v_w2": (HID, HID), "v_b2": (HID,),
+        "f_w1": (HID, HID), "f_b1": (HID,), "f_ln_s": (HID,), "f_ln_b": (HID,),
+        "f_w2": (HID, 2 * HDIM), "f_b2": (2 * HDIM,),
+        "m_w1": (D, HID), "m_b1": (HID,), "m_ln_s": (HID,), "m_ln_b": (HID,),
+        "m_w2": (HID, D), "m_b2": (D,),
+    }
+    tails = {
+        "o_w": (HDIM, HDIM), "o_b": (HDIM,),
+        "p_w1": (HDIM, HDIM), "p_b1": (HDIM,), "p_ln_s": (HDIM,), "p_ln_b": (HDIM,),
+        "p_w2": (HDIM, HDIM), "p_b2": (HDIM,),
+        "h_w1": (HDIM, HID), "h_b1": (HID,), "h_w2": (HID, HID), "h_b2": (HID,),
+        "h_w3": (HID, OUT), "h_b3": (OUT,),
+    }
+    mk = lambda shp: 0.1 * jax.random.normal(next(ks), shp, jnp.float32)
+    return {k: mk(v) for k, v in shapes.items()}, {k: mk(v) for k, v in tails.items()}
+
+
+def _time(fn, iters=5):
+    np.asarray(fn())  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = np.asarray(fn())
+    return (time.perf_counter() - t0) / iters
+
+
+_orig = pd._tile_decode
+
+
+def make_variant(no_trans=False, no_ln=False, no_softmax=False, no_rff=False):
+    def _ident_ln(x, scale, bias, dt):
+        return x * scale + bias
+
+    def variant(spec, inv3, wb3, k, v, ws, tws):
+        import enf_pde_tpu.ops.pallas_decode as m
+
+        saved = {}
+        if no_trans:
+            saved["gelu"] = jax.nn.gelu
+        if no_ln:
+            saved["_layernorm"] = m._layernorm
+            m._layernorm = _ident_ln
+        try:
+            if no_trans:
+                # Replace gelu with a cheap polynomial (keeps array shapes/flows).
+                import jax.nn as jnn
+                real_gelu = jnn.gelu
+                jnn.gelu = lambda x: x * (0.5 + 0.25 * x)
+                try:
+                    return _orig(spec, inv3, wb3, k, v, ws, tws)
+                finally:
+                    jnn.gelu = real_gelu
+            return _orig(spec, inv3, wb3, k, v, ws, tws)
+        finally:
+            if no_ln:
+                m._layernorm = saved["_layernorm"]
+
+    return variant
+
+
+def run(name, tile_c=512, patch=None, **kw):
+    if patch is not None:
+        pd._tile_decode = patch
+    try:
+        key = jax.random.PRNGKey(0)
+        ws, tws = _rand_weights(key)
+        inv = jax.random.normal(key, (B, C, Z, I), jnp.float32)
+        wb = jax.random.normal(key, (B, C, Z), jnp.float32)
+        kk = jax.random.normal(key, (B, Z, HDIM), jnp.float32)
+        vv = jax.random.normal(key, (B, Z, HDIM), jnp.float32)
+
+        @jax.jit
+        def f(inv, wb, kk, vv, ws, tws):
+            y = pd.fused_enf_decode(
+                inv, wb, kk, vv, ws, num_heads=H, head_dim=D,
+                tile_c=tile_c, tail_weights=tws, num_out=OUT, **kw,
+            )
+            return jnp.sum(y)
+
+        dt = _time(lambda: f(inv, wb, kk, vv, ws, tws))
+        pts = B * C / dt
+        flops = pd.decode_flops_per_point(H, D, HID, Z, I, OUT)
+        print(f"{name:28s} {dt*1e3:8.1f} ms  {pts/1e6:7.2f} Mpts/s  "
+              f"MFU={100*pts*flops/197e12:5.1f}%", flush=True)
+    finally:
+        pd._tile_decode = _orig
+
+
+if __name__ == "__main__":
+    which = set(sys.argv[1:])
+    variants = {
+        "baseline-512": dict(),
+        "tile-1024": dict(tile_c=1024),
+        "tile-2048": dict(tile_c=2048),
+        "no-gelu": dict(patch=make_variant(no_trans=True)),
+        "no-layernorm": dict(patch=make_variant(no_ln=True)),
+        "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
+    }
+    for name, kw in variants.items():
+        if which and name not in which:
+            continue
+        run(name, **kw)
