@@ -1,27 +1,20 @@
-"""Internally heated ball dataset (reduced-order stand-in for the IHC experiment).
+"""Internally heated convection in the unit ball (IHC dataset).
 
-The reference simulates internally heated *convection* in the unit ball with Dedalus
-(Rayleigh 1e6, CFL-adaptive SBDF2; ``pdes.py:738-846``) — a Navier-Stokes + buoyancy
-solve we do not reproduce here. This module generates the *conductive* limit of the
-same setup exactly, as a documented reduced-order substitute that exercises the full
-ball geometry pipeline (SO(3) ball invariants, 48x24x24 grids, ~27k coordinates):
+Trajectories come from the spectral Boussinesq solver in
+``enf_pde_tpu.data.ball_convection`` — the same physics as the reference's Dedalus
+generator (``pdes.py:738-846``): Rayleigh 1e6, Prandtl 1, internal source
+``T_source = 6``, stress-free/impenetrable velocity, fixed-flux temperature
+(``dT/dr(1) = -2``), low-passed random-noise + ``1 - r^2`` initial conditions,
+CFL-adaptive SBDF2. Frames are recorded on the reference output grid
+(48 x 24 x 24 uniform phi/theta/r, ``fit_ihc.py:33-37``) every 0.2 time units after
+a transient, mirroring the reference's every-10-iterations cadence at ``max_dt``.
 
-- same temperature IC protocol: low-passed random noise + the equilibrium profile
-  ``1 - r^2`` (which balances the internal source ``kappa * T_source`` with
-  ``T_source = 6`` under the flux boundary condition ``dT/dr(1) = -2``),
-- the perturbation ``u = T - (1 - r^2)`` then obeys the pure heat equation with a
-  homogeneous Neumann boundary; it is diagonal in the basis
-  ``Y_lm(theta, phi) * j_l(lambda_{l,n} r)`` with ``j_l'(lambda) = 0``, so frames are
-  computed exactly from the IC's modal projection.
-
-Replace with a spectral ball convection solver for full physics parity (TODO noted in
-README).
+``BallModes`` (the exact Neumann heat-kernel eigenbasis of the ball) is kept as the
+validation oracle: with buoyancy disabled the convection solver must reproduce its
+closed-form conduction solution (see ``tests/test_ball_convection.py``).
 """
 
 from __future__ import annotations
-
-import os
-from typing import Tuple
 
 import numpy as np
 from scipy.optimize import brentq
@@ -29,12 +22,12 @@ from scipy.special import spherical_jn
 
 from enf_pde_tpu.data.sphere_harmonics import legendre_table
 
-__all__ = ["BallModes", "generate_ihc_trajectories"]
+__all__ = ["BallModes", "generate_ihc_trajectories", "neumann_bessel_roots"]
 
 _KAPPA = 1e-3  # (Rayleigh * Prandtl)^(-1/2) at Ra = 1e6, Pr = 1
 
 
-def _neumann_bessel_roots(l: int, num: int) -> np.ndarray:
+def neumann_bessel_roots(l: int, num: int) -> np.ndarray:
     """First ``num`` positive roots of d/dx j_l(x) = 0."""
     roots = []
     x = 1e-3 if l == 0 else 0.5
@@ -52,7 +45,12 @@ def _neumann_bessel_roots(l: int, num: int) -> np.ndarray:
 
 
 class BallModes:
-    """Neumann heat-kernel eigenbasis of the unit ball on a (phi, theta, r) grid."""
+    """Neumann heat-kernel eigenbasis of the unit ball on a (phi, theta, r) grid.
+
+    Exact conduction solutions: the perturbation ``u = T - (1 - r^2)`` obeys the pure
+    heat equation with a homogeneous Neumann boundary and is diagonal in the basis
+    ``Y_lm(theta, phi) * j_l(lambda_{l,n} r)`` with ``j_l'(lambda) = 0``.
+    """
 
     def __init__(self, nphi: int = 48, ntheta: int = 24, nr: int = 24, lmax: int = 12, nmax: int = 8):
         self.nphi, self.ntheta, self.nr = nphi, ntheta, nr
@@ -79,7 +77,7 @@ class BallModes:
         self.radial_q = np.zeros((lmax + 1, nmax, len(self.rq)))  # at quadrature nodes
         self.radial_out = np.zeros((lmax + 1, nmax, nr))  # at output radii
         for l in range(lmax + 1):
-            lams = _neumann_bessel_roots(l, nmax)
+            lams = neumann_bessel_roots(l, nmax)
             self.lam[l] = lams
             for n, lam in enumerate(lams):
                 fq = spherical_jn(l, lam * self.rq)
@@ -88,12 +86,7 @@ class BallModes:
                 self.radial_out[l, n] = spherical_jn(l, lam * self.r_out) / norm
 
     def sample_ic_coeffs(self, seed: int, scale: float = 0.1) -> np.ndarray:
-        """Random modal coefficients for the low-passed noise IC.
-
-        The reference fills grid noise and low-pass filters to half resolution
-        (``pdes.py:814-815``); sampling band-limited modal coefficients directly is
-        the spectral equivalent.
-        """
+        """Random band-limited modal coefficients for a noise IC."""
         rng = np.random.RandomState(seed % (2**31 - 1))
         L, M, N = self.lmax + 1, self.mmax + 1, self.nmax
         coeffs = (rng.randn(L, M, N) + 1j * rng.randn(L, M, N)) * scale
@@ -125,20 +118,25 @@ class BallModes:
 
 
 def generate_ihc_trajectories(
-    seeds: np.ndarray, modes: BallModes | None = None, num_frames: int = 20
+    seeds: np.ndarray, solver=None, num_frames: int = 20
 ) -> np.ndarray:
-    """Trajectories [num, num_frames, 48, 24, 24, 1].
+    """Convection trajectories [num, num_frames, 48, 24, 24, 1].
 
     Frame cadence mirrors the reference recorder (every 10 adaptive steps of ~0.02
-    time units after a transient of 10 records): frames at ``t = 2.0 + 0.2 k``.
+    time units, transient of 10 records skipped): frames at ``t = 2.0 + 0.2 k``.
     """
-    modes = modes or BallModes()
-    times = 2.0 + 0.2 * np.arange(num_frames)
+    from enf_pde_tpu.data.ball_convection import BallConvectionSolver, BallOutputGrid
+
+    solver = solver or BallConvectionSolver()
+    out_grid = BallOutputGrid(solver)
     out = []
     for s in seeds:
-        coeffs = modes.sample_ic_coeffs(int(s))
-        frames = modes.frames(coeffs, times)
+        frames = solver.simulate(
+            int(s),
+            record_interval=0.2,
+            t_start_record=2.0,
+            num_frames=num_frames,
+            out_grid=out_grid,
+        )
         out.append(frames.astype(np.float32)[..., None])
     return np.stack(out)
-
-

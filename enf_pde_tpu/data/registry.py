@@ -141,18 +141,27 @@ def dataset_spec(name: str, dataset_cfg=None) -> DatasetSpec:
         )
 
     if name == "ihc":
-        from enf_pde_tpu.data.ihc import BallModes, generate_ihc_trajectories
+        from enf_pde_tpu.data.ball_convection import BallConvectionSolver
+        from enf_pde_tpu.data.ihc import generate_ihc_trajectories
 
-        modes = BallModes()
+        # Ra 1e6 Boussinesq convection (reference pdes.py:738-846). Solver setup is a
+        # few seconds of basis building — construct lazily on the first generation.
+        _solver: list = []
+
+        def _get_solver():
+            if not _solver:
+                _solver.append(BallConvectionSolver())
+            return _solver[0]
+
         return DatasetSpec(
-            gen_train=lambda ids: generate_ihc_trajectories(ids, modes),
+            gen_train=lambda ids: generate_ihc_trajectories(ids, _get_solver()),
             gen_test=lambda ids: generate_ihc_trajectories(
-                np.asarray([test_seed(i) for i in ids]), modes
+                np.asarray([test_seed(i) for i in ids]), _get_solver()
             ),
             coords=ball_coords(48, 24, 24),
             n_frames_train=None,
-            batch_size_gen=8,
-            cache_name=name,
+            batch_size_gen=2,  # trajectories are minutes each; keep cache writes fresh
+            cache_name="ihc_convection",  # new physics -> fresh cache
             postprocess=lambda t: t[6:],
         )
 

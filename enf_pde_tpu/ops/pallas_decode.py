@@ -225,16 +225,46 @@ def _layernorm(x, scale, bias, dt):
     return (x - mean) * inv * scale + bias
 
 
+def _fast_sincos(proj):
+    """Polynomial sin/cos of ``2*pi*proj`` to ~1e-5 abs error.
+
+    The exact VPU sine dominated the fused kernel's runtime (measured 39% of the
+    whole decode on v5e — tools/kernel_profile.py). RFF features feed bf16 matmuls
+    (~3e-3 resolution), so polynomial trig after an exact round-based range
+    reduction loses nothing. One reduction yields BOTH values via half-angle:
+    with t = pi*(p - round(p)) in [-pi/2, pi/2],
+    sin(2 pi p) = 2 sin(t) cos(t) and cos(2 pi p) = 1 - 2 sin(t)^2.
+    """
+    y = proj - jnp.round(proj)
+    t = jnp.pi * y
+    t2 = t * t
+    s = t * (
+        0.9999999995
+        + t2 * (-0.1666666279 + t2 * (8.333288177e-3 + t2 * (-1.980741872e-4 + t2 * 2.601885479e-6)))
+    )
+    c = 1.0 + t2 * (
+        -0.4999999963
+        + t2 * (4.166657362e-2 + t2 * (-1.388544180e-3 + t2 * 2.423340843e-5))
+    )
+    return 2.0 * s * c, 1.0 - 2.0 * s * s
+
+
 def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
     """RFFNet(num_layers=2): sin/cos features -> ReLU dense -> dense.
 
     The RFF phase projection stays f32 (phases feed sin/cos); the wide hidden
     matmuls run at ``dt``. Coefficients are stop-gradient, matching the reference
-    (``embedding/rff.py``: ``learnable_coefficients=False``).
+    (``embedding/rff.py``: ``learnable_coefficients=False``). In bf16 compute mode
+    the sin/cos pair uses the polynomial evaluation (see ``_fast_sincos``); strict
+    f32 parity mode keeps the exact libm path.
     """
     coeff = jax.lax.stop_gradient(coeff)
-    proj = (2 * jnp.pi) * jnp.dot(x, coeff, preferred_element_type=jnp.float32)
-    h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+    proj = jnp.dot(x, coeff, preferred_element_type=jnp.float32)
+    if dt == jnp.bfloat16:
+        s, c = _fast_sincos(proj)
+    else:
+        s, c = jnp.sin(2 * jnp.pi * proj), jnp.cos(2 * jnp.pi * proj)
+    h = jnp.concatenate([s, c], axis=-1)
     h = jnp.maximum(_mm(h, w1, dt) + b1, 0.0)
     return _mm(h, w2, dt) + b2
 
@@ -245,6 +275,22 @@ def _headblock(num_heads, head_dim, dt):
     hd = num_heads * head_dim
     i = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // head_dim
     j = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // head_dim
+    return (i == j).astype(dt)
+
+
+def _headsum(num_heads, head_dim, dt):
+    """Column-block ones [H*D, H]: sums q*k lanes into one logit per head."""
+    hd = num_heads * head_dim
+    i = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0) // head_dim
+    j = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    return (i == j).astype(dt)
+
+
+def _headexpand(num_heads, head_dim, dt):
+    """Row-block ones [H, H*D]: broadcasts per-head scalars over that head's lanes."""
+    hd = num_heads * head_dim
+    i = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1) // head_dim
     return (i == j).astype(dt)
 
 
@@ -293,18 +339,28 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
         cols.append(_mm(vm, m_w2, dt) + m_b2)
     v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
 
-    # Logits, expanded over head lanes via the block-diagonal ones matmul.
+    # Per-head logits on a NARROW [Z, T, H] array (exp/max/sum on H lanes instead of
+    # H*D — the wide-softmax variant spent ~8% of kernel time on redundant lanes).
     qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
-    att = jnp.dot(qk.astype(dt), _headblock(H, D, dt),
-                  preferred_element_type=jnp.float32)
-
-    # Softmax over latents + weighted sum, f32. The window bias stays [Z, T, 1] and
-    # broadcasts over head lanes.
-    att3 = att.reshape(Z, T, HD) * scale + wb3
-    m = jnp.max(att3, axis=0)
-    pr = jnp.exp(att3 - m)
-    norm = jnp.sum(pr, axis=0)
-    y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm  # [T, H*D]
+    if dt == jnp.bfloat16:
+        attn = jnp.dot(qk.astype(dt), _headsum(H, D, dt),
+                       preferred_element_type=jnp.float32)  # [Z*T, H]
+        att3 = attn.reshape(Z, T, H) * scale + wb3
+        m = jnp.max(att3, axis=0)
+        pr = jnp.exp(att3 - m)
+        pr = pr / jnp.sum(pr, axis=0)
+        # Expand normalized weights back over head lanes with one tiny MXU matmul.
+        prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), _headexpand(H, D, dt),
+                      preferred_element_type=jnp.float32)
+        y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
+    else:
+        att = jnp.dot(qk.astype(dt), _headblock(H, D, dt),
+                      preferred_element_type=jnp.float32)
+        att3 = att.reshape(Z, T, HD) * scale + wb3
+        m = jnp.max(att3, axis=0)
+        pr = jnp.exp(att3 - m)
+        norm = jnp.sum(pr, axis=0)
+        y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm  # [T, H*D]
 
     if not spec.with_tail:
         return y

@@ -58,6 +58,73 @@ def _time(fn, iters=5):
 _orig = pd._tile_decode
 
 
+def make_ablated(no_sincos=False, no_softmax=False):
+    """Reimplementation of _tile_decode with phases switchable to cheap stand-ins."""
+    import jax
+    import jax.numpy as jnp
+
+    def tile(spec, inv3, wb3, k, v, ws, tws):
+        H, D = spec.num_heads, spec.head_dim
+        HD = H * D
+        dt = spec.compute_dtype
+        (q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
+         v_coeff, v_w1, v_b1, v_w2, v_b2,
+         f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
+         m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+        Z, T, I = inv3.shape
+        inv2 = inv3.reshape(Z * T, I)
+        scale = 1.0 / np.sqrt(D)
+
+        def rff(x, coeff, w1, b1, w2, b2):
+            coeff = jax.lax.stop_gradient(coeff)
+            proj = (2 * jnp.pi) * jnp.dot(x, coeff, preferred_element_type=jnp.float32)
+            if no_sincos:
+                h = jnp.concatenate([proj, proj], axis=-1)
+            else:
+                h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+            h = jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0)
+            return pd._mm(h, w2, dt) + b2
+
+        e_q = rff(inv2, q_coeff, q_w1, q_b1, q_w2, q_b2)
+        q = pd._mm(e_q, wq, dt) + bq
+        e_v = rff(inv2, v_coeff, v_w1, v_b1, v_w2, v_b2)
+        t = jax.nn.gelu(pd._mm(e_v, f_w1, dt) + f_b1)
+        t = pd._layernorm(t, f_ln_s, f_ln_b, dt)
+        gb3 = (pd._mm(t, f_w2, dt) + f_b2).reshape(Z, T, 2 * HD)
+        v_cond = (v[:, None, :] * (1.0 + gb3[..., :HD]) + gb3[..., HD:]).reshape(Z * T, HD)
+        cols = []
+        for h in range(H):
+            sl = slice(h * D, (h + 1) * D)
+            vm = jax.nn.gelu(pd._mm(v_cond[:, sl], m_w1, dt) + m_b1)
+            vm = pd._layernorm(vm, m_ln_s, m_ln_b, dt)
+            cols.append(pd._mm(vm, m_w2, dt) + m_b2)
+        v_mix = jnp.concatenate(cols, axis=-1)
+        qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
+        att = jnp.dot(qk.astype(dt), pd._headblock(H, D, dt),
+                      preferred_element_type=jnp.float32)
+        att3 = att.reshape(Z, T, HD) * scale + wb3
+        if no_softmax:
+            y = jnp.sum(att3 * v_mix.reshape(Z, T, HD), axis=0)
+        else:
+            m = jnp.max(att3, axis=0)
+            pr = jnp.exp(att3 - m)
+            norm = jnp.sum(pr, axis=0)
+            y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm
+        if not spec.with_tail:
+            return y
+        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
+        y = pd._mm(y, o_w, dt) + o_b
+        t = jax.nn.gelu(pd._mm(y, p_w1, dt) + p_b1)
+        t = pd._layernorm(t, p_ln_s, p_ln_b, dt)
+        y = jax.nn.gelu(pd._mm(t, p_w2, dt) + p_b2)
+        h = jax.nn.gelu(pd._mm(y, h_w1, dt) + h_b1)
+        h = jax.nn.gelu(pd._mm(h, h_w2, dt) + h_b2)
+        return pd._mm(h, h_w3, dt) + h_b3
+
+    return tile
+
+
 def make_variant(no_trans=False, no_ln=False, no_softmax=False, no_rff=False):
     def _ident_ln(x, scale, bias, dt):
         return x * scale + bias
@@ -121,11 +188,13 @@ if __name__ == "__main__":
     which = set(sys.argv[1:])
     variants = {
         "baseline-512": dict(),
-        "tile-1024": dict(tile_c=1024),
-        "tile-2048": dict(tile_c=2048),
+        "tile-256": dict(tile_c=256),
         "no-gelu": dict(patch=make_variant(no_trans=True)),
         "no-layernorm": dict(patch=make_variant(no_ln=True)),
         "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
+        "no-sincos": dict(patch=make_ablated(no_sincos=True)),
+        "no-softmax": dict(patch=make_ablated(no_softmax=True)),
+        "no-sincos-softmax": dict(patch=make_ablated(no_sincos=True, no_softmax=True)),
     }
     for name, kw in variants.items():
         if which and name not in which:
