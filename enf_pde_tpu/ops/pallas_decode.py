@@ -15,9 +15,13 @@ Design notes (TPU; measured on v5e):
 - **The latent axis is folded into the matmul M dimension.** All dense chains run on
   ``[Z*TILE_C, width]`` operands — one large MXU matmul per layer instead of Z small
   ones, so the systolic array reaches steady state (Z is 4-25 in all experiments).
-  A matmul-only skeleton of this kernel sustains ~70% of v5e bf16 peak; the full op
-  is bounded by the VPU transcendentals the model demands per point (gelu, sin/cos,
-  exp — about 4k element-evals per coordinate), not by the MXU.
+- **Transcendentals are polynomial.** Phase-ablation timing (tools/kernel_profile.py)
+  showed the libm-grade VPU sine eating 39% of kernel time; the RFF sin/cos pair now
+  uses an exact round-based range reduction + short polynomials (~1e-5 abs error,
+  far below bf16 matmul resolution), and softmax statistics run on narrow per-head
+  logits re-expanded over lanes by a tiny MXU matmul. Measured NS-config decode:
+  24.4 M points/s/chip, ~31% analytic-model-FLOPs utilization on v5e (the remainder
+  is FiLM elementwise traffic and layout changes, not MXU or transcendentals).
 - **bf16 operands, f32 accumulation** (``compute_dtype``): every wide matmul casts its
   operands to bf16 (matching the trainers' default TPU matmul precision) and
   accumulates in f32. The RFF phase projection, softmax, and bias adds stay f32.
