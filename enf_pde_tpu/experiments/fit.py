@@ -131,7 +131,9 @@ def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader
 
         if epoch % cfg.test.test_interval == 0:
             _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, epoch)
-    _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, "final")
+    if cfg.training.num_epochs % cfg.test.test_interval != 0:
+        # Final validation, unless the loop's last epoch just ran one.
+        _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, "final")
     return state
 
 

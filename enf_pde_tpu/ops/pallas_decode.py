@@ -253,6 +253,14 @@ def _fast_sincos(proj):
     return 2.0 * s * c, 1.0 - 2.0 * s * s
 
 
+def _gelu(x, dt):
+    """tanh-approximate gelu. A polynomial-rational variant was tried and measured
+    SLOWER than the native lowering on v5e (VPU divides are expensive; Mosaic's tanh
+    is already cheap) — see tools/kernel_profile.py; keep the exact path."""
+    del dt
+    return jax.nn.gelu(x)
+
+
 def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
     """RFFNet(num_layers=2): sin/cos features -> ReLU dense -> dense.
 
@@ -327,7 +335,7 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
 
     # FiLM-conditioned value chain.
     e_v = _rff_mlp(inv2, v_coeff, v_w1, v_b1, v_w2, v_b2, dt)
-    t = jax.nn.gelu(_mm(e_v, f_w1, dt) + f_b1)
+    t = _gelu(_mm(e_v, f_w1, dt) + f_b1, dt)
     t = _layernorm(t, f_ln_s, f_ln_b, dt)
     gb3 = (_mm(t, f_w2, dt) + f_b2).reshape(Z, T, 2 * HD)
     # Broadcast k/v over coordinates in 3D elementwise ops (a broadcast folded into a
@@ -338,7 +346,7 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
     cols = []
     for h in range(H):
         sl = slice(h * D, (h + 1) * D)
-        vm = jax.nn.gelu(_mm(v_cond[:, sl], m_w1, dt) + m_b1)
+        vm = _gelu(_mm(v_cond[:, sl], m_w1, dt) + m_b1, dt)
         vm = _layernorm(vm, m_ln_s, m_ln_b, dt)
         cols.append(_mm(vm, m_w2, dt) + m_b2)
     v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
@@ -373,11 +381,11 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
     (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
      h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
     y = _mm(y, o_w, dt) + o_b
-    t = jax.nn.gelu(_mm(y, p_w1, dt) + p_b1)
+    t = _gelu(_mm(y, p_w1, dt) + p_b1, dt)
     t = _layernorm(t, p_ln_s, p_ln_b, dt)
-    y = jax.nn.gelu(_mm(t, p_w2, dt) + p_b2)
-    h = jax.nn.gelu(_mm(y, h_w1, dt) + h_b1)
-    h = jax.nn.gelu(_mm(h, h_w2, dt) + h_b2)
+    y = _gelu(_mm(t, p_w2, dt) + p_b2, dt)
+    h = _gelu(_mm(y, h_w1, dt) + h_b1, dt)
+    h = _gelu(_mm(h, h_w2, dt) + h_b2, dt)
     return _mm(h, h_w3, dt) + h_b3
 
 
@@ -433,6 +441,11 @@ def _fwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws):
         ),
         out_shape=jax.ShapeDtypeStruct((b, cp, spec.out_dim), jnp.float32),
         interpret=spec.interpret,
+        compiler_params=pltpu.CompilerParams(
+            # Mosaic's default 16M scoped-vmem budget is conservative (v5e has 128M
+            # VMEM); the elementwise temporaries of the fused chains need ~24M.
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(inv, wb, k, v, *w_list)
 
 
@@ -517,6 +530,7 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
         interpret=spec.interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(inv, wb, k, v, g, *w_list)
     dinv, dwb, dk, dv = outs[:4]

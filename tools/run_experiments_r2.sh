@@ -3,6 +3,10 @@
 # seeds {0,1,2}, documented reduced budgets (see EXPERIMENTS.md). Sequential — the
 # relayed TPU platform allows one process at a time.
 cd /root/repo
+# Persistent compilation cache: seeds 1,2 of each config reuse seed 0's programs
+# (fresh processes otherwise recompile ~15-20 min of validation programs each).
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 run() {
   local tag=$1; shift
   for seed in 0 1 2; do
