@@ -102,7 +102,15 @@ class PonitaGen(nn.Module):
         kb = nn.Dense(self.basis_dim)(kb)
         kernel_basis = nn.gelu(kb)
         if self.kernel_size != "global":
-            dist = jnp.linalg.norm(p[:, :, None, :] - p[:, None, :, :], axis=-1)
+            # Safe pairwise distance: ``jnp.linalg.norm`` has NaN gradients on the
+            # zero-distance self-pairs, which poisons every ODE-phase update the
+            # moment gradients flow through the rollout (the reference has this
+            # exact bug — ``ponita_ode_g.py:151-153`` with the shipped
+            # ``config_cahn_hilliard.yaml`` kernel_size 0.2; forward values match,
+            # the diagonal gets the correct zero subgradient here).
+            d2 = jnp.sum((p[:, :, None, :] - p[:, None, :, :]) ** 2, axis=-1)
+            pos = d2 > 0
+            dist = jnp.where(pos, jnp.sqrt(jnp.where(pos, d2, 1.0)), 0.0)
             kernel_basis = kernel_basis * jnp.exp(-dist / self.kernel_size)[..., None]
 
         a = nn.Dense(self.num_hidden, use_bias=False)(a)

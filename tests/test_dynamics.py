@@ -185,3 +185,27 @@ def test_latent_rollout_with_ponita_jits():
     ps, as_, ws = rollout(params, lat)
     assert ps.shape == (B, 10, Z, 2)
     assert jnp.all(jnp.isfinite(ps)) and jnp.all(jnp.isfinite(as_))
+
+
+def test_local_kernel_gradients_finite_at_self_pairs():
+    """Local (exp-windowed) PONITA kernels must have finite pose gradients.
+
+    The pairwise-distance diagonal is exactly zero; a plain ``jnp.linalg.norm``
+    there has NaN gradients, which poisoned every ODE-phase update of the
+    Cahn-Hilliard config (the reference carries the same bug,
+    ``ponita_ode_g.py:151`` with its shipped ``kernel_size: .2``).
+    """
+    ode = PonitaLatentODE(
+        num_hidden=16, num_layers=2, scalar_num_out=LAT, vec_num_out=1,
+        invariant=RelativePositionPeriodic(2), basis_dim=8, degree=2,
+        widening_factor=2, kernel_size=0.2,
+    )
+    p, a, w = _latents()
+    params = ode.init(jax.random.PRNGKey(0), (p, a, w))
+
+    def loss(p):
+        dp, da, dw = ode.apply(params, (p, a, w))
+        return jnp.sum(dp**2) + jnp.sum(da**2)
+
+    g = jax.grad(loss)(p)
+    assert bool(jnp.all(jnp.isfinite(g)))

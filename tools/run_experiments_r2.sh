@@ -9,7 +9,7 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
 run() {
   local tag=$1; shift
-  for seed in 0 1 2; do
+  for seed in $SEEDS; do
     local dir=outputs/r2/${tag}_s${seed}
     if [ -f ${dir}/DONE ]; then echo "skip ${tag}_s${seed}"; continue; fi
     echo "=== ${tag} seed ${seed} $(date +%H:%M:%S) ==="
@@ -18,6 +18,9 @@ run() {
       && touch ${dir}/DONE
   done
 }
+
+for SEEDS in "0" "1 2"; do
+export SEEDS
 
 run diffusion_plane diffusion_plane \
   dataset.num_signals_train=64 dataset.num_signals_test=16 \
@@ -31,8 +34,11 @@ run navier_stokes navier_stokes \
   test.test_interval=400 test.test_dp_interval=400 test.test_equiv_at_epoch=399 \
   logging.visualize_every_n_epochs=400 logging.log_every_n_steps=800
 
+# CH second-order memory: batch 8 x fit_on_num_steps 3 x 2048 pts x 9 latents
+# OOMs the 16G chip; halve batch and sampled points (documented budget reduction).
 run cahn_hilliard cahn_hilliard \
   dataset.num_signals_train=64 dataset.num_signals_test=16 \
+  dataset.batch_size=4 training.max_num_sampled_points=1024 \
   training.num_epochs=150 training.nef.train_until_epoch=90 training.ode.train_from_epoch=90 \
   test.test_interval=150 test.test_dp_interval=150 logging.visualize_every_n_epochs=150 \
   logging.log_every_n_steps=400
@@ -70,5 +76,7 @@ run navier_stokes_nonmaml navier_stokes_nonmaml \
   dataset.num_signals_train=128 dataset.num_signals_test=32 \
   training.num_epochs=300 training.nef.train_until_epoch=200 training.ode.train_from_epoch=200 \
   test.test_interval=300 test.refit_epochs=50 logging.log_every_n_steps=800
+
+done  # SEEDS passes
 
 echo ALL_RUNS_DONE $(date)
