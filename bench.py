@@ -182,12 +182,16 @@ def main():
         head_dim=decoder.num_hidden,
         hidden=decoder.num_hidden,
         num_latents=p.shape[1],
-        inv_dim=2,
+        inv_dim=decoder.cross_attn_invariant.dim,
         num_out=decoder.num_out,
     )
     on_tpu = backend == "pallas"
     extra = {
         "decode_backend": backend,
+        # Timing mode: the pallas path overlaps `pipeline` async dispatches per timed
+        # iteration and divides by it (the baseline's per-chunk python loop already
+        # pipelines its many launches); recorded so numbers are comparable across rounds.
+        "pipeline_depth": pipeline if backend == "pallas" else 1,
         "decode_points_per_sec": round(pts_ours, 1),
         "decode_model_flops_per_point": flops_per_point,
         "decode_mfu_pct": round(100 * pts_ours * flops_per_point / _V5E_PEAK_FLOPS, 2)

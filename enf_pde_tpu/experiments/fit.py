@@ -107,6 +107,10 @@ def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader
     import jax.numpy as jnp
 
     trainer = AutodecodingTrainer(cfg, decoder, ode_model, coords, seed=cfg.seed)
+    logger.log(
+        {"train_backend": decoder.backend, "eval_backend": trainer.eval_decoder.backend},
+        echo=True,
+    )
     state = trainer.init_state()
     t = cfg.training
     global_step = 0
@@ -162,7 +166,11 @@ def _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logge
     metrics["train_mse_out_t_sc"] = sc_out
 
     refit_epochs = min(cfg.training.nef.train_until_epoch, cfg.get_path("test.refit_epochs", 100))
-    refit_train = cfg.get_path("test.refit_train_split", True)
+    # The train-split re-fit doubles the (already refit-dominated) validation cost;
+    # by default it runs only at the final validation. ``test.refit_train_split``
+    # forces it on (every validation) or off entirely.
+    is_final = not isinstance(epoch, int) or epoch == cfg.training.num_epochs
+    refit_train = cfg.get_path("test.refit_train_split", is_final)
     for dp in (0.0, 0.05, 0.1, 0.5):
         tag = "" if dp == 0 else f"_dp{dp}"
         val_state = trainer.refit_latents(state, test_loader, num_epochs=refit_epochs, dp=dp)

@@ -15,6 +15,15 @@ Design notes (TPU; measured on v5e):
 - **The latent axis is folded into the matmul M dimension.** All dense chains run on
   ``[Z*TILE_C, width]`` operands — one large MXU matmul per layer instead of Z small
   ones, so the systolic array reaches steady state (Z is 4-25 in all experiments).
+- **Linear chains and the FiLM conditioning are algebraically pre-folded** (round 3).
+  Adjacent dense pairs with no nonlinearity between them (RFF-MLP dense 2 -> q
+  projection; RFF-MLP dense 2 -> FiLM FFN dense 1) are pre-multiplied in XLA. More
+  importantly, the FiLM gamma/beta projection, the ``[Z*T, H*D]`` elementwise
+  ``v*(1+gamma)+beta`` (round 2's measured bottleneck), and the mixer's first dense
+  collapse into ONE per-latent matmul ``t @ G_z + c_z`` with
+  ``G_z = Wg diag(v_z) m_w1 + Wb m_w1`` built per decode call in XLA
+  (``_fold_weights``) — removing ~1/3 of kernel FLOPs and the worst VPU traffic
+  while computing the same function.
 - **Transcendentals are polynomial.** Phase-ablation timing (tools/kernel_profile.py)
   showed the libm-grade VPU sine eating 39% of kernel time; the RFF sin/cos pair now
   uses an exact round-based range reduction + short polynomials (~1e-5 abs error,
@@ -67,22 +76,30 @@ __all__ = [
     "decode_flops_per_point",
 ]
 
-# Order of weight arrays passed to the kernels (all f32; 1-D biases shipped as [1, n]):
+# Order of weight arrays passed to the kernels (all f32; 1-D biases shipped as [1, n]).
+# These are the FOLDED weights produced by ``_fold_weights`` — consecutive linear
+# layers with no nonlinearity between them are pre-multiplied in XLA (see the design
+# notes), so the kernel runs one matmul where the module definition has two:
 _WEIGHT_NAMES = (
     "q_coeff",  # [I, hid/2]   RFF coefficients (query embedding)
-    "q_w1", "q_b1",  # [hid, hid], [hid]
-    "q_w2", "q_b2",  # [hid, hid], [hid]
-    "wq", "bq",  # [hid, H*D], [H*D]
+    "q_w1", "q_b1",  # [hid, hid], [hid]   RFF MLP dense 1 (ReLU)
+    "qw", "qb",  # [hid, H*D], [H*D]   folded (RFF MLP dense 2) @ (inv_emb_to_q)
     "v_coeff",  # [I, hid/2]   RFF coefficients (value embedding)
-    "v_w1", "v_b1",
-    "v_w2", "v_b2",
-    "f_w1", "f_b1",  # FiLM FFN dense 1: [hid, hid], [hid]
+    "v_w1", "v_b1",  # [hid, hid], [hid]   RFF MLP dense 1 (ReLU)
+    "fw", "fb",  # [hid, hid], [hid]   folded (RFF MLP dense 2) @ (FiLM FFN dense 1)
     "f_ln_s", "f_ln_b",  # FiLM FFN layernorm: [hid]
-    "f_w2", "f_b2",  # FiLM FFN dense 2: [hid, 2*H*D], [2*H*D]
-    "m_w1", "m_b1",  # mixer dense 1: [D, hid], [hid]
-    "m_ln_s", "m_ln_b",  # mixer layernorm: [hid]
-    "m_w2", "m_b2",  # mixer dense 2: [hid, D], [D]
+    "m_ln_s", "m_ln_b",  # mixer layernorm: [hidm]
+    "m_w2", "m_b2",  # mixer dense 2: [hidm, D], [D]
 )
+# The FiLM gamma/beta projection (``f_w2``/``f_b2``), the FiLM elementwise
+# conditioning of the values, and the mixer's first dense (``m_w1``/``m_b1``) are
+# folded into per-(batch, latent, head) matrices G [hid, H*hidm] and biases
+# c [H*hidm], computed in XLA per decode call (they depend on the latent values v):
+#
+#   v_cond = v * (1 + t @ Wg + bg) + (t @ Wb + bb)          (FiLM, per head slice)
+#   mixer_in = v_cond @ m_w1 + m_b1
+#            = t @ [Wg diag(v) m_w1 + Wb m_w1]  +  [(v (1+bg) + bb) m_w1 + m_b1]
+#              `------------ G ------------'       `------------ c -----------'
 
 _TAIL_WEIGHT_NAMES = (
     "o_w", "o_b",        # attention output projection [H*D, H*D]
@@ -166,6 +183,78 @@ def extract_tail_weights(attn_out_proj, block_ffn, head_mlp) -> Dict[str, jnp.nd
         "h_w3": head_mlp["layers_4"]["kernel"],
         "h_b3": head_mlp["layers_4"]["bias"],
     }
+
+
+def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: int,
+                  head_dim: int):
+    """Pre-multiply linear chains and build the per-latent FiLM+mixer matrices.
+
+    All folds are plain differentiable XLA ops, so weight gradients (and the
+    second-order tangents) chain through them automatically; the kernels only ever
+    see the folded arrays.
+
+    Args:
+        weights: raw arrays from ``extract_attention_weights``.
+        v: latent values ``a_to_v(a)`` [b, z, H*D].
+
+    Returns:
+        (ws2, G, c): folded weight dict in ``_WEIGHT_NAMES`` order plus
+        G [b, z, hid, H*hidm] and c [b, z, H*hidm].
+    """
+    H, D = num_heads, head_dim
+    m_w1 = weights["m_w1"]  # [D, hidm]
+    hid = weights["f_w1"].shape[0]
+    hidm = m_w1.shape[1]
+    b, z, _ = v.shape
+    hi = jax.lax.Precision.HIGHEST  # folds must not inherit the bf16 TPU default
+
+    # Linear-chain folds (no nonlinearity between the factors).
+    qw = jnp.dot(weights["q_w2"], weights["wq"], precision=hi)
+    qb = jnp.dot(weights["q_b2"], weights["wq"], precision=hi) + weights["bq"]
+    fw = jnp.dot(weights["v_w2"], weights["f_w1"], precision=hi)
+    fb = jnp.dot(weights["v_b2"], weights["f_w1"], precision=hi) + weights["f_b1"]
+
+    # FiLM + mixer-dense-1 fold. f_w2 [hid, 2*H*D]: gamma half then beta half,
+    # head h occupying columns h*D:(h+1)*D of each half (reference value layout).
+    f_w2 = weights["f_w2"]
+    f_b2 = weights["f_b2"]
+    Wg = f_w2[:, : H * D].reshape(hid, H, D)
+    Wb = f_w2[:, H * D :].reshape(hid, H, D)
+    bg = f_b2[: H * D].reshape(H, D)
+    bb = f_b2[H * D :].reshape(H, D)
+    v4 = v.reshape(b, z, H, D)
+
+    # G[b,z,h] = Wg_h diag(v[b,z,h]) m_w1 + Wb_h m_w1   -> [hid, hidm] per head.
+    G_beta = jnp.einsum("xhd,dm->hxm", Wb, m_w1, precision=hi)  # shared across (b, z)
+    G = jnp.einsum("xhd,bzhd,dm->bzhxm", Wg, v4, m_w1, precision=hi) + G_beta
+    G = G.transpose(0, 1, 3, 2, 4).reshape(b, z, hid, H * hidm)
+
+    # c[b,z,h] = (v (1+bg) + bb) m_w1 + m_b1.
+    c = (
+        jnp.einsum("bzhd,dm->bzhm", v4 * (1.0 + bg) + bb, m_w1, precision=hi)
+        + weights["m_b1"]
+    )
+    c = c.reshape(b, z, H * hidm)
+
+    ws2 = {
+        "q_coeff": weights["q_coeff"],
+        "q_w1": weights["q_w1"],
+        "q_b1": weights["q_b1"],
+        "qw": qw,
+        "qb": qb,
+        "v_coeff": weights["v_coeff"],
+        "v_w1": weights["v_w1"],
+        "v_b1": weights["v_b1"],
+        "fw": fw,
+        "fb": fb,
+        "f_ln_s": weights["f_ln_s"],
+        "f_ln_b": weights["f_ln_b"],
+        "m_ln_s": weights["m_ln_s"],
+        "m_ln_b": weights["m_ln_b"],
+        "m_w2": weights["m_w2"],
+        "m_b2": weights["m_b2"],
+    }
+    return ws2, G, c
 
 
 def decode_flops_per_point(num_heads, head_dim, hidden, num_latents, inv_dim, num_out,
@@ -306,13 +395,15 @@ def _headexpand(num_heads, head_dim, dt):
     return (i == j).astype(dt)
 
 
-def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
+def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     """Pure-jnp decode of one coordinate tile, latent axis batched into M.
 
     Args:
         inv3: bi-invariants [Z, T, I] (latent-major).
         wb3: additive window bias [Z, T, 1].
-        k / v: latent keys/values [Z, H*D].
+        k: latent keys [Z, H*D].
+        G / c: folded FiLM+mixer matrices [Z, hid, H*hidm] and biases [Z, H*hidm]
+            (see ``_fold_weights`` — the latent values v live inside these).
         ws / tws: weight tuples in ``_WEIGHT_NAMES`` / ``_TAIL_WEIGHT_NAMES`` order.
 
     Returns:
@@ -321,32 +412,33 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
     H, D = spec.num_heads, spec.head_dim
     HD = H * D
     dt = spec.compute_dtype
-    (q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
-     v_coeff, v_w1, v_b1, v_w2, v_b2,
-     f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
-     m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+    (q_coeff, q_w1, q_b1, qw, qb,
+     v_coeff, v_w1, v_b1, fw, fb,
+     f_ln_s, f_ln_b, m_ln_s, m_ln_b, m_w2, m_b2) = ws
     Z, T, I = inv3.shape
+    hidm = m_w2.shape[0]
     inv2 = inv3.reshape(Z * T, I)
     scale = 1.0 / np.sqrt(D)
 
-    # Query chain: [Z*T, hid] -> [Z*T, H*D].
-    e_q = _rff_mlp(inv2, q_coeff, q_w1, q_b1, q_w2, q_b2, dt)
-    q = _mm(e_q, wq, dt) + bq
+    # Query chain (folded): [Z*T, hid] -> [Z*T, H*D].
+    q = _rff_mlp(inv2, q_coeff, q_w1, q_b1, qw, qb, dt)
 
-    # FiLM-conditioned value chain.
-    e_v = _rff_mlp(inv2, v_coeff, v_w1, v_b1, v_w2, v_b2, dt)
-    t = _gelu(_mm(e_v, f_w1, dt) + f_b1, dt)
+    # Value-side embedding chain (folded into the FiLM FFN's first dense).
+    t = _gelu(_rff_mlp(inv2, v_coeff, v_w1, v_b1, fw, fb, dt), dt)
     t = _layernorm(t, f_ln_s, f_ln_b, dt)
-    gb3 = (_mm(t, f_w2, dt) + f_b2).reshape(Z, T, 2 * HD)
-    # Broadcast k/v over coordinates in 3D elementwise ops (a broadcast folded into a
-    # reshape would lower as a gather, which Mosaic rejects).
-    v_cond = (v[:, None, :] * (1.0 + gb3[..., :HD]) + gb3[..., HD:]).reshape(Z * T, HD)
 
-    # Per-head mixer MLP; heads unrolled (H is 2-3), slices lane-aligned at D.
+    # FiLM conditioning + mixer dense 1, folded into ONE batched-per-latent matmul:
+    # t[z] @ G[z] + c[z]. Replaces the gamma/beta projection, the [Z*T, H*D]
+    # elementwise FiLM (the round-2 measured bottleneck), and the per-head mixer
+    # first matmul. Z is small and static -> unrolled.
+    t3 = t.reshape(Z, T, -1)
+    pre = jnp.stack([_mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
+    pre2 = pre.reshape(Z * T, H * hidm)
+
+    # Mixer tail per head (gelu -> LN -> dense 2); slices lane-aligned at hidm.
     cols = []
     for h in range(H):
-        sl = slice(h * D, (h + 1) * D)
-        vm = _gelu(_mm(v_cond[:, sl], m_w1, dt) + m_b1, dt)
+        vm = _gelu(pre2[:, h * hidm : (h + 1) * hidm], dt)
         vm = _layernorm(vm, m_ln_s, m_ln_b, dt)
         cols.append(_mm(vm, m_w2, dt) + m_b2)
     v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
@@ -389,16 +481,16 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, v, ws, tws):
     return _mm(h, h_w3, dt) + h_b3
 
 
-def _reference_decode(spec: _Spec, inv, wb, k, v, ws, tws):
+def _reference_decode(spec: _Spec, inv, wb, k, G, c, ws, tws):
     """Whole-array XLA composition of the same math (second-order path + oracle).
 
     ``inv`` is latent-major [b, Z, C, I]; ``wb`` is [b, Z, C, 1].
     """
 
-    def per_b(inv_b, wb_b, kb, vb):
-        return _tile_decode(spec, inv_b, wb_b, kb, vb, ws, tws)
+    def per_b(inv_b, wb_b, kb, Gb, cb):
+        return _tile_decode(spec, inv_b, wb_b, kb, Gb, cb, ws, tws)
 
-    return jax.vmap(per_b)(inv, wb, k, v)
+    return jax.vmap(per_b)(inv, wb, k, G, c)
 
 
 # ------------------------------------------------------------------- pallas: fwd
@@ -412,16 +504,19 @@ def _const_specs(arrs):
     ]
 
 
-def _fwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, *rest):
+def _fwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, *rest):
     *w_refs, y_ref = rest
     ws = tuple(r[:] for r in w_refs[:_N_W])
     tws = tuple(r[:] for r in w_refs[_N_W:])
-    y_ref[0] = _tile_decode(spec, inv_ref[0], wb_ref[0], k_ref[0], v_ref[0], ws, tws)
+    y_ref[0] = _tile_decode(
+        spec, inv_ref[0], wb_ref[0], k_ref[0], G_ref[0], c_ref[0], ws, tws
+    )
 
 
-def _fwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws):
+def _fwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws):
     b, z, cp, i = inv.shape
     hd = spec.num_heads * spec.head_dim
+    hh = G.shape[-1]
     tile = spec.tile_c
     w_list = list(ws) + list(tws)
     return pl.pallas_call(
@@ -433,7 +528,9 @@ def _fwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws):
             pl.BlockSpec((1, z, tile, 1), lambda bi, ci: (bi, 0, ci, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, hd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, hd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, G.shape[2], hh), lambda bi, ci: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, hh), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
             *_const_specs(w_list),
         ],
         out_specs=pl.BlockSpec(
@@ -446,25 +543,25 @@ def _fwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws):
             # VMEM); the elementwise temporaries of the fused chains need ~24M.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(inv, wb, k, v, *w_list)
+    )(inv, wb, k, G, c, *w_list)
 
 
 # ------------------------------------------------------------------- pallas: bwd
 
 
-def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, g_ref, *rest):
+def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, g_ref, *rest):
     n_in = _N_W + (len(_TAIL_WEIGHT_NAMES) if spec.with_tail else 0)
     w_refs = rest[:n_in]
-    dinv_ref, dwb_ref, dk_ref, dv_ref, *dw_refs = rest[n_in:]
+    dinv_ref, dwb_ref, dk_ref, dG_ref, dc_ref, *dw_refs = rest[n_in:]
     ws = tuple(r[:] for r in w_refs[:_N_W])
     tws = tuple(r[:] for r in w_refs[_N_W:])
     g = g_ref[0]
 
-    def f(inv3, wb3, kk, vv, ws, tws):
-        return _tile_decode(spec, inv3, wb3, kk, vv, ws, tws)
+    def f(inv3, wb3, kk, GG, cc, ws, tws):
+        return _tile_decode(spec, inv3, wb3, kk, GG, cc, ws, tws)
 
-    _, vjp = jax.vjp(f, inv_ref[0], wb_ref[0], k_ref[0], v_ref[0], ws, tws)
-    dinv, dwb, dk, dv, dws, dtws = vjp(g)
+    _, vjp = jax.vjp(f, inv_ref[0], wb_ref[0], k_ref[0], G_ref[0], c_ref[0], ws, tws)
+    dinv, dwb, dk, dG, dc, dws, dtws = vjp(g)
     dw_all = list(dws) + list(dtws)
 
     dinv_ref[0] = dinv
@@ -476,12 +573,14 @@ def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, g_ref, *rest):
     @pl.when(first_tile)
     def _():
         dk_ref[0] = dk
-        dv_ref[0] = dv
+        dG_ref[0] = dG
+        dc_ref[0] = dc
 
     @pl.when(jnp.logical_not(first_tile))
     def _():
         dk_ref[0] += dk
-        dv_ref[0] += dv
+        dG_ref[0] += dG
+        dc_ref[0] += dc
 
     @pl.when(first_all)
     def _():
@@ -494,9 +593,10 @@ def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, v_ref, g_ref, *rest):
             r[...] += dw
 
 
-def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
+def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
     b, z, cp, i = inv.shape
     hd = spec.num_heads * spec.head_dim
+    hh = G.shape[-1]
     tile = spec.tile_c_bwd
     w_list = list(ws) + list(tws)
 
@@ -504,11 +604,14 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
         jax.ShapeDtypeStruct((b, z, cp, i), jnp.float32),
         jax.ShapeDtypeStruct((b, z, cp, 1), jnp.float32),
         jax.ShapeDtypeStruct((b, z, hd), jnp.float32),
-        jax.ShapeDtypeStruct((b, z, hd), jnp.float32),
+        jax.ShapeDtypeStruct(G.shape, jnp.float32),
+        jax.ShapeDtypeStruct(c.shape, jnp.float32),
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w_list],
     )
     lat_spec = lambda n: pl.BlockSpec((1, z, n), lambda bi, ci: (bi, 0, 0),
                                       memory_space=pltpu.VMEM)
+    G_spec = pl.BlockSpec((1, z, G.shape[2], hh), lambda bi, ci: (bi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     tile4 = lambda n: pl.BlockSpec((1, z, tile, n), lambda bi, ci: (bi, 0, ci, 0),
                                    memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
@@ -518,13 +621,15 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
             tile4(i),
             tile4(1),
             lat_spec(hd),
-            lat_spec(hd),
+            G_spec,
+            lat_spec(hh),
             pl.BlockSpec((1, tile, spec.out_dim), lambda bi, ci: (bi, ci, 0),
                          memory_space=pltpu.VMEM),
             *_const_specs(w_list),
         ],
         out_specs=(
-            tile4(i), tile4(1), lat_spec(hd), lat_spec(hd), *_const_specs(w_list),
+            tile4(i), tile4(1), lat_spec(hd), G_spec, lat_spec(hh),
+            *_const_specs(w_list),
         ),
         out_shape=out_shapes,
         interpret=spec.interpret,
@@ -532,11 +637,11 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(inv, wb, k, v, g, *w_list)
-    dinv, dwb, dk, dv = outs[:4]
-    dws = tuple(outs[4 : 4 + _N_W])
-    dtws = tuple(outs[4 + _N_W :]) if tws else ()
-    return dinv, dwb, dk, dv, dws, dtws
+    )(inv, wb, k, G, c, g, *w_list)
+    dinv, dwb, dk, dG, dc = outs[:5]
+    dws = tuple(outs[5 : 5 + _N_W])
+    dtws = tuple(outs[5 + _N_W :]) if tws else ()
+    return dinv, dwb, dk, dG, dc, dws, dtws
 
 
 # --------------------------------------------------------- custom VJP (2nd order)
@@ -558,8 +663,8 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, v, ws, tws, g):
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _fwd_op(spec: _Spec, inv, wb, k, v, ws, tws):
-    return _fwd_pallas(spec, inv, wb, k, v, ws, tws)
+def _fwd_op(spec: _Spec, inv, wb, k, G, c, ws, tws):
+    return _fwd_pallas(spec, inv, wb, k, G, c, ws, tws)
 
 
 @_fwd_op.defjvp
@@ -570,17 +675,17 @@ def _fwd_op_jvp(spec, primals, tangents):
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _bwd_op(spec: _Spec, inv, wb, k, v, ws, tws, g):
-    return _bwd_pallas(spec, inv, wb, k, v, ws, tws, g)
+def _bwd_op(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
+    return _bwd_pallas(spec, inv, wb, k, G, c, ws, tws, g)
 
 
 @_bwd_op.defjvp
 def _bwd_op_jvp(spec, primals, tangents):
     out = _bwd_pallas(spec, *primals)
 
-    def ref_grads(inv, wb, k, v, ws, tws, g):
+    def ref_grads(inv, wb, k, G, c, ws, tws, g):
         _, vjp = jax.vjp(
-            lambda *args: _reference_decode(spec, *args), inv, wb, k, v, ws, tws
+            lambda *args: _reference_decode(spec, *args), inv, wb, k, G, c, ws, tws
         )
         return vjp(g)
 
@@ -589,13 +694,13 @@ def _bwd_op_jvp(spec, primals, tangents):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _op(spec: _Spec, inv, wb, k, v, ws, tws):
-    return _fwd_op(spec, inv, wb, k, v, ws, tws)
+def _op(spec: _Spec, inv, wb, k, G, c, ws, tws):
+    return _fwd_op(spec, inv, wb, k, G, c, ws, tws)
 
 
-def _op_fwd(spec, inv, wb, k, v, ws, tws):
-    y = _fwd_op(spec, inv, wb, k, v, ws, tws)
-    return y, (inv, wb, k, v, ws, tws)
+def _op_fwd(spec, inv, wb, k, G, c, ws, tws):
+    y = _fwd_op(spec, inv, wb, k, G, c, ws, tws)
+    return y, (inv, wb, k, G, c, ws, tws)
 
 
 def _op_bwd(spec, res, g):
@@ -683,14 +788,23 @@ def fused_enf_decode(
         tile_c_bwd=tile_bwd,
         interpret=interpret,
     )
-    ws = tuple(_as2d(weights[n]) for n in _WEIGHT_NAMES)
+    # Fold linear chains and build the per-latent FiLM+mixer matrices in XLA
+    # (differentiable; the kernels never see the raw FiLM / mixer-dense-1 weights).
+    folded, G, cc = _fold_weights(
+        {n: weights[n].astype(jnp.float32) for n in weights},
+        v.astype(jnp.float32),
+        num_heads,
+        head_dim,
+    )
+    ws = tuple(_as2d(folded[n]) for n in _WEIGHT_NAMES)
     tws = tuple(_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES) if with_tail else ()
     y = _op(
         spec,
         inv.astype(jnp.float32),
         window_bias[..., None].astype(jnp.float32),
         k.astype(jnp.float32),
-        v.astype(jnp.float32),
+        G,
+        cc,
         ws,
         tws,
     )

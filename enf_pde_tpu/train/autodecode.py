@@ -40,6 +40,15 @@ class AutodecodingTrainer:
         inv = decoder.cross_attn_invariant
         self.num_pos_dims = inv.num_z_pos_dims
         self.num_ori_dims = inv.num_z_ori_dims
+        # Forward-only validation decoding can run the fused Pallas kernel while
+        # the (first-order) training steps keep the XLA path; see resolve_eval_backend.
+        from enf_pde_tpu.train.meta_sgd import resolve_eval_backend
+
+        eval_backend = resolve_eval_backend(cfg, decoder)
+        if eval_backend != decoder.backend:
+            self.eval_decoder = decoder.clone(backend=eval_backend)
+        else:
+            self.eval_decoder = decoder
         self._build_steps()
 
     def _make_table(self, num_signals: int):
@@ -164,10 +173,15 @@ class AutodecodingTrainer:
         return loss, state.replace(params=params, ode_opt_state=ode_opt_state, rng=next_rng)
 
     def _val_step(self, state, trajectory, idx):
-        """Rollout MSE from *stored* latents over 2x the train horizon."""
+        """Rollout MSE from *stored* latents over ``test.val_rollout_frames`` frames.
+
+        The reference hardcodes a 20-frame validation rollout
+        (``nonmaml_pde_trainer.py:252,264``); here the horizon is explicit config,
+        defaulting to twice the train horizon (identical at T=10).
+        """
         cfg = self.cfg
         T_in = cfg.dataset.traj_len_train
-        T_total = min(2 * T_in, trajectory.shape[1])
+        T_total = min(cfg.get_path("test.val_rollout_frames", 2 * T_in), trajectory.shape[1])
         trajectory = trajectory[:, :T_total]
         latents = latents_to_pose(gather_latents(state.params["autodecoder"], idx))
         sol = solve_latent_ode(
@@ -181,7 +195,7 @@ class AutodecodingTrainer:
         p_fl, a_fl, w_fl = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), sol)
         coords = jnp.broadcast_to(self.coords[None], (p_fl.shape[0], *self.coords.shape))
         recon = decode_chunked(
-            self.decoder.apply, state.params["nef"], coords, p_fl, a_fl, w_fl,
+            self.eval_decoder.apply, state.params["nef"], coords, p_fl, a_fl, w_fl,
             chunk_size=cfg.training.max_num_sampled_points,
         )
         recon = recon.reshape(trajectory.shape)

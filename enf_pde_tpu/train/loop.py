@@ -76,19 +76,22 @@ class TrainLoop:
         )
         return state
 
-    def _eval_loader(self, state, loader, step_fn):
+    def _eval_loader(self, state, loader, step_fn, seed_offset: int = 0):
         mse_in, mse_out, n = 0.0, 0.0, 0
         for batch in loader:
-            # The batch index decorrelates inner-loop coordinate masks across batches.
-            a, b = step_fn(state, self._batch_traj(batch), n)
+            # batch index + epoch offset decorrelate inner-loop coordinate masks
+            # across batches *and* across validation epochs (state.rng only advances
+            # with train steps). Traced int arg -> no recompilation per epoch.
+            a, b = step_fn(state, self._batch_traj(batch), seed_offset + n)
             mse_in += float(a)
             mse_out += float(b)
             n += 1
         return mse_in / max(n, 1), mse_out / max(n, 1)
 
     def validate_epoch(self, state: TrainState, epoch: int):
-        v_in, v_out = self._eval_loader(state, self.val_loader, self.trainer.val_step)
-        t_in, t_out = self._eval_loader(state, self.train_loader, self.trainer.val_step)
+        off = epoch << 20
+        v_in, v_out = self._eval_loader(state, self.val_loader, self.trainer.val_step, off)
+        t_in, t_out = self._eval_loader(state, self.train_loader, self.trainer.val_step, off)
         self.logger.log(
             {
                 "epoch": epoch,
@@ -100,22 +103,23 @@ class TrainLoop:
             step=self.global_step,
             echo=True,
         )
-        if (
-            not self._equivariance_checked
-            and epoch > self.cfg.get_path("test.test_equiv_at_epoch", 10**9)
-            and self.trainer.num_pos_dims == 2
-            and self.cfg.dataset.name
-            in ("navier_stokes", "navier_stokes_long", "diffusion_plane", "cahn_hilliard")
+        if not self._equivariance_checked and epoch > self.cfg.get_path(
+            "test.test_equiv_at_epoch", 10**9
         ):
             self._log_equivariance(state, epoch)
             self._equivariance_checked = True
 
     def _log_equivariance(self, state: TrainState, epoch: int):
-        """Numeric analogue of the reference's visual equivariance sanity check."""
+        """Numeric analogue of the reference's visual equivariance sanity check.
+
+        Dispatches on the trained geometry: plane/torus (translation + rotation),
+        S^2 (longitude / full SO(3)), B^3 (longitude / Euler-recomposed SO(3)).
+        Logs nothing for the non-equivariant ``abs_pos`` ablation.
+        """
         import jax.numpy as jnp
 
-        from enf_pde_tpu.models.latents import latents_to_pose, tile_latents
-        from enf_pde_tpu.utils.equivariance import equivariance_errors_2d
+        from enf_pde_tpu.models.latents import latents_to_pose
+        from enf_pde_tpu.utils.equivariance import equivariance_errors
 
         batch = next(iter(self.val_loader))
         frames = self._batch_traj(batch)[:, 0]
@@ -125,16 +129,18 @@ class TrainLoop:
         coords = jnp.broadcast_to(
             self.trainer.coords[None, :n], (p.shape[0], n, self.trainer.coords.shape[-1])
         )
-        errs = equivariance_errors_2d(
+        errs = equivariance_errors(
             self.trainer.decoder.apply,
             state.params["nef"],
             coords,
             p,
             a,
             w,
-            has_orientation=self.trainer.num_ori_dims > 0,
-            periodic=self.trainer.decoder.cross_attn_invariant.is_periodic,
+            invariant=self.trainer.decoder.cross_attn_invariant,
+            coordinate_system=self.trainer.coordinate_system,
         )
+        if not errs:
+            return
         self.logger.log(
             {"epoch": epoch, **{f"equivariance_err_{k}": v for k, v in errs.items()}},
             step=self.global_step,
@@ -191,10 +197,11 @@ class TrainLoop:
 
     def validate_epoch_dp(self, state: TrainState, epoch: int):
         metrics = {"epoch": epoch}
+        off = epoch << 20
         for dp, fn in self.trainer.val_step_dp.items():
             tag = f"dp{int(dp * 100)}"
-            v_in, v_out = self._eval_loader(state, self.val_loader, fn)
-            t_in, t_out = self._eval_loader(state, self.train_loader, fn)
+            v_in, v_out = self._eval_loader(state, self.val_loader, fn, off)
+            t_in, t_out = self._eval_loader(state, self.train_loader, fn, off)
             metrics.update(
                 {
                     f"val_mse_in_t_{tag}": v_in,
@@ -217,7 +224,11 @@ class TrainLoop:
             saved = self.checkpoints.restore_config(epoch)
         except Exception:
             return
-        live = self.cfg.to_dict()
+        import json
+
+        # JSON-roundtrip the live config so tuples/lists and numeric types compare
+        # identically to the JSON-restored checkpoint copy.
+        live = json.loads(json.dumps(self.cfg.to_dict()))
 
         def flat(d, prefix=""):
             for k, v in sorted(d.items()):
@@ -249,6 +260,16 @@ class TrainLoop:
                 print(f"[loop] resumed from epoch {latest}")
 
         t_start = time.time()
+        self.logger.log(
+            {
+                "train_backend": self.trainer.decoder.backend,
+                "eval_backend": getattr(
+                    self.trainer, "eval_decoder", self.trainer.decoder
+                ).backend,
+            },
+            step=self.global_step,
+            echo=True,
+        )
         viz_every = self.cfg.get_path("logging.visualize_every_n_epochs", 0)
         for epoch in range(start_epoch, num_epochs + 1):
             state = self.train_epoch(state, epoch)

@@ -30,7 +30,21 @@ from enf_pde_tpu.models.latents import init_latents, latents_to_pose
 from enf_pde_tpu.train.inner_loop import InnerLoopConfig, init_meta_sgd_lrs, make_inner_loop
 from enf_pde_tpu.train.state import TrainState, make_optimizers
 
-__all__ = ["MetaSGDTrainer"]
+__all__ = ["MetaSGDTrainer", "resolve_eval_backend"]
+
+
+def resolve_eval_backend(cfg, decoder) -> str:
+    """Backend for forward-only (validation/rollout) decoding.
+
+    ``nef.eval_backend: pallas`` in the experiment configs selects the fused TPU
+    kernel; on non-TPU backends (the CPU test mesh, debugging) it silently falls
+    back to the XLA path, which is numerically equivalent (tests/test_pallas.py).
+    ``pallas_interpret`` is left untouched — it is the explicit CPU debug mode.
+    """
+    backend = cfg.nef.get("eval_backend", decoder.backend)
+    if backend == "pallas" and jax.default_backend() != "tpu":
+        return decoder.backend if decoder.backend != "pallas" else "xla"
+    return backend
 
 
 class MetaSGDTrainer:
@@ -60,7 +74,7 @@ class MetaSGDTrainer:
         # Validation decoding is forward-only, so it can run on the fused Pallas
         # kernel even while training uses the XLA path (which supports the
         # second-order autodiff the meta objective needs). Same parameter tree.
-        eval_backend = cfg.nef.get("eval_backend", decoder.backend)
+        eval_backend = resolve_eval_backend(cfg, decoder)
         if eval_backend != decoder.backend:
             self.eval_decoder = decoder.clone(backend=eval_backend)
         else:

@@ -1,4 +1,9 @@
-from enf_pde_tpu.utils.equivariance import equivariance_errors_2d
+from enf_pde_tpu.utils.equivariance import (
+    equivariance_errors,
+    equivariance_errors_2d,
+    equivariance_errors_ball,
+    equivariance_errors_sphere,
+)
 from enf_pde_tpu.utils.metrics import iou, mse, psnr
 from enf_pde_tpu.utils.profiling import StepTimer, trace
 from enf_pde_tpu.utils.visualization import (
@@ -8,7 +13,10 @@ from enf_pde_tpu.utils.visualization import (
 )
 
 __all__ = [
+    "equivariance_errors",
     "equivariance_errors_2d",
+    "equivariance_errors_ball",
+    "equivariance_errors_sphere",
     "iou",
     "mse",
     "psnr",

@@ -1,8 +1,12 @@
 """Ablation timing of the fused decode kernel phases on real TPU hardware.
 
 Monkeypatches ``pallas_decode._tile_decode`` with variants that skip phases
-(transcendentals, layernorms, softmax, tail) to locate the bottleneck. Run on the
+(transcendentals, layernorms, softmax) to locate the bottleneck. Run on the
 TPU: ``python tools/kernel_profile.py [variant ...]``.
+
+The kernel math here mirrors the round-3 folded formulation (see
+``pallas_decode._WEIGHT_NAMES``): linear chains pre-multiplied, FiLM + mixer
+dense 1 folded into the per-latent ``t @ G_z + c_z`` matmul.
 """
 
 from __future__ import annotations
@@ -10,7 +14,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -25,7 +28,8 @@ HDIM = H * D
 
 
 def _rand_weights(key):
-    ks = iter(jax.random.split(key, 40))
+    ks = iter(jax.random.split(key, 48))
+    # Raw (unfolded) weights — fused_enf_decode folds them internally.
     shapes = {
         "q_coeff": (I, HID // 2), "q_w1": (HID, HID), "q_b1": (HID,),
         "q_w2": (HID, HID), "q_b2": (HID,), "wq": (HID, HDIM), "bq": (HDIM,),
@@ -59,57 +63,58 @@ _orig = pd._tile_decode
 
 
 def make_ablated(no_sincos=False, no_softmax=False):
-    """Reimplementation of _tile_decode with phases switchable to cheap stand-ins."""
-    import jax
-    import jax.numpy as jnp
+    """Reimplementation of the folded _tile_decode with switchable phases."""
 
-    def tile(spec, inv3, wb3, k, v, ws, tws):
+    def tile(spec, inv3, wb3, k, G, c, ws, tws):
         H, D = spec.num_heads, spec.head_dim
         HD = H * D
         dt = spec.compute_dtype
-        (q_coeff, q_w1, q_b1, q_w2, q_b2, wq, bq,
-         v_coeff, v_w1, v_b1, v_w2, v_b2,
-         f_w1, f_b1, f_ln_s, f_ln_b, f_w2, f_b2,
-         m_w1, m_b1, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+        (q_coeff, q_w1, q_b1, qw, qb,
+         v_coeff, v_w1, v_b1, fw, fb,
+         f_ln_s, f_ln_b, m_ln_s, m_ln_b, m_w2, m_b2) = ws
         Z, T, I = inv3.shape
+        hidm = m_w2.shape[0]
         inv2 = inv3.reshape(Z * T, I)
         scale = 1.0 / np.sqrt(D)
 
         def rff(x, coeff, w1, b1, w2, b2):
             coeff = jax.lax.stop_gradient(coeff)
-            proj = (2 * jnp.pi) * jnp.dot(x, coeff, preferred_element_type=jnp.float32)
+            proj = jnp.dot(x, coeff, preferred_element_type=jnp.float32)
             if no_sincos:
                 h = jnp.concatenate([proj, proj], axis=-1)
             else:
-                h = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+                s, cc = pd._fast_sincos(proj)
+                h = jnp.concatenate([s, cc], axis=-1)
             h = jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0)
             return pd._mm(h, w2, dt) + b2
 
-        e_q = rff(inv2, q_coeff, q_w1, q_b1, q_w2, q_b2)
-        q = pd._mm(e_q, wq, dt) + bq
-        e_v = rff(inv2, v_coeff, v_w1, v_b1, v_w2, v_b2)
-        t = jax.nn.gelu(pd._mm(e_v, f_w1, dt) + f_b1)
+        q = rff(inv2, q_coeff, q_w1, q_b1, qw, qb)
+        t = jax.nn.gelu(rff(inv2, v_coeff, v_w1, v_b1, fw, fb))
         t = pd._layernorm(t, f_ln_s, f_ln_b, dt)
-        gb3 = (pd._mm(t, f_w2, dt) + f_b2).reshape(Z, T, 2 * HD)
-        v_cond = (v[:, None, :] * (1.0 + gb3[..., :HD]) + gb3[..., HD:]).reshape(Z * T, HD)
+        t3 = t.reshape(Z, T, -1)
+        pre = jnp.stack([pd._mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
+        pre2 = pre.reshape(Z * T, H * hidm)
         cols = []
         for h in range(H):
-            sl = slice(h * D, (h + 1) * D)
-            vm = jax.nn.gelu(pd._mm(v_cond[:, sl], m_w1, dt) + m_b1)
+            vm = jax.nn.gelu(pre2[:, h * hidm : (h + 1) * hidm])
             vm = pd._layernorm(vm, m_ln_s, m_ln_b, dt)
             cols.append(pd._mm(vm, m_w2, dt) + m_b2)
         v_mix = jnp.concatenate(cols, axis=-1)
         qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
-        att = jnp.dot(qk.astype(dt), pd._headblock(H, D, dt),
-                      preferred_element_type=jnp.float32)
-        att3 = att.reshape(Z, T, HD) * scale + wb3
+        attn = jnp.dot(qk.astype(dt), pd._headsum(H, D, dt),
+                       preferred_element_type=jnp.float32)
+        att3 = attn.reshape(Z, T, H) * scale + wb3
         if no_softmax:
-            y = jnp.sum(att3 * v_mix.reshape(Z, T, HD), axis=0)
+            prw = jnp.dot(att3.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
+                          preferred_element_type=jnp.float32)
+            y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
         else:
             m = jnp.max(att3, axis=0)
             pr = jnp.exp(att3 - m)
-            norm = jnp.sum(pr, axis=0)
-            y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm
+            pr = pr / jnp.sum(pr, axis=0)
+            prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
+                          preferred_element_type=jnp.float32)
+            y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
         if not spec.with_tail:
             return y
         (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
@@ -125,30 +130,27 @@ def make_ablated(no_sincos=False, no_softmax=False):
     return tile
 
 
-def make_variant(no_trans=False, no_ln=False, no_softmax=False, no_rff=False):
+def make_variant(no_trans=False, no_ln=False):
     def _ident_ln(x, scale, bias, dt):
         return x * scale + bias
 
-    def variant(spec, inv3, wb3, k, v, ws, tws):
+    def variant(spec, inv3, wb3, k, G, c, ws, tws):
         import enf_pde_tpu.ops.pallas_decode as m
 
         saved = {}
-        if no_trans:
-            saved["gelu"] = jax.nn.gelu
         if no_ln:
             saved["_layernorm"] = m._layernorm
             m._layernorm = _ident_ln
         try:
             if no_trans:
-                # Replace gelu with a cheap polynomial (keeps array shapes/flows).
                 import jax.nn as jnn
                 real_gelu = jnn.gelu
                 jnn.gelu = lambda x: x * (0.5 + 0.25 * x)
                 try:
-                    return _orig(spec, inv3, wb3, k, v, ws, tws)
+                    return _orig(spec, inv3, wb3, k, G, c, ws, tws)
                 finally:
                     jnn.gelu = real_gelu
-            return _orig(spec, inv3, wb3, k, v, ws, tws)
+            return _orig(spec, inv3, wb3, k, G, c, ws, tws)
         finally:
             if no_ln:
                 m._layernorm = saved["_layernorm"]
@@ -189,6 +191,7 @@ if __name__ == "__main__":
     variants = {
         "baseline-512": dict(),
         "tile-256": dict(tile_c=256),
+        "tile-1024": dict(tile_c=1024),
         "no-gelu": dict(patch=make_variant(no_trans=True)),
         "no-layernorm": dict(patch=make_variant(no_ln=True)),
         "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
