@@ -22,8 +22,14 @@ Design notes (TPU; measured on v5e):
   ``v*(1+gamma)+beta`` (round 2's measured bottleneck), and the mixer's first dense
   collapse into ONE per-latent matmul ``t @ G_z + c_z`` with
   ``G_z = Wg diag(v_z) m_w1 + Wb m_w1`` built per decode call in XLA
-  (``_fold_weights``) — removing ~1/3 of kernel FLOPs and the worst VPU traffic
-  while computing the same function.
+  (``_fold_weights``) — removing ~1/4 of executed kernel FLOPs and the worst VPU
+  traffic while computing the same function. Every LayerNorm's scale/bias is
+  likewise folded into the matmul that consumes it, and activations are stored at
+  the compute dtype between matmuls. **Measured outcome (v5e): all of this is
+  wall-time neutral** — ablation profiling shows the op is bound by its ~18
+  narrow-matmul (K,N <= 256) skeleton with serialized VPU interludes, not by the
+  folded FLOPs (normalize-LN 8%, sincos 5%, gelu 1.5%, softmax 0%; HBM ~1% of
+  bandwidth). The folds are kept: same function, less VMEM, wider tiles fit.
 - **Transcendentals are polynomial.** Phase-ablation timing (tools/kernel_profile.py)
   showed the libm-grade VPU sine eating 39% of kernel time; the RFF sin/cos pair now
   uses an exact round-based range reduction + short polynomials (~1e-5 abs error,
@@ -87,10 +93,13 @@ _WEIGHT_NAMES = (
     "v_coeff",  # [I, hid/2]   RFF coefficients (value embedding)
     "v_w1", "v_b1",  # [hid, hid], [hid]   RFF MLP dense 1 (ReLU)
     "fw", "fb",  # [hid, hid], [hid]   folded (RFF MLP dense 2) @ (FiLM FFN dense 1)
-    "f_ln_s", "f_ln_b",  # FiLM FFN layernorm: [hid]
-    "m_ln_s", "m_ln_b",  # mixer layernorm: [hidm]
-    "m_w2", "m_b2",  # mixer dense 2: [hidm, D], [D]
+    "m_w2", "m_b2",  # mixer dense 2 with the mixer LN scale/bias folded in
 )
+# Every LayerNorm's scale/bias is folded into the matmul that consumes it
+# ((x_hat*s + b) @ W  ==  x_hat @ (diag(s) W) + b @ W): the FiLM LN into G/c, the
+# mixer LN into m_w2/m_b2, the block-FFN LN into p_w2/p_b2. The kernels run
+# normalize-only LayerNorms (measured: the LN elementwise was the largest
+# non-matmul cost after the round-3 FiLM fold — tools/kernel_profile.py).
 # The FiLM gamma/beta projection (``f_w2``/``f_b2``), the FiLM elementwise
 # conditioning of the values, and the mixer's first dense (``m_w1``/``m_b1``) are
 # folded into per-(batch, latent, head) matrices G [hid, H*hidm] and biases
@@ -104,8 +113,7 @@ _WEIGHT_NAMES = (
 _TAIL_WEIGHT_NAMES = (
     "o_w", "o_b",        # attention output projection [H*D, H*D]
     "p_w1", "p_b1",      # block FFN dense 1 [H*D, H*D]
-    "p_ln_s", "p_ln_b",  # block FFN layernorm
-    "p_w2", "p_b2",      # block FFN dense 2 [H*D, H*D]
+    "p_w2", "p_b2",      # block FFN dense 2 with the block LN scale/bias folded in
     "h_w1", "h_b1",      # head MLP [H*D, hid]
     "h_w2", "h_b2",      # head MLP [hid, hid]
     "h_w3", "h_b3",      # head MLP [hid, num_out]
@@ -236,6 +244,15 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
     )
     c = c.reshape(b, z, H * hidm)
 
+    # Fold the FiLM LN scale/bias into G/c: (t_hat*s + b) @ G == t_hat @ (s.G) + b @ G.
+    # The kernel then runs a normalize-only LN (no scale-mul / bias-add VPU passes).
+    c = c + jnp.einsum("x,bzxm->bzm", weights["f_ln_b"], G, precision=hi)
+    G = G * weights["f_ln_s"][:, None]
+
+    # Fold the mixer LN scale/bias into its dense 2 the same way.
+    m_w2 = weights["m_ln_s"][:, None] * weights["m_w2"]
+    m_b2 = weights["m_b2"] + jnp.dot(weights["m_ln_b"], weights["m_w2"], precision=hi)
+
     ws2 = {
         "q_coeff": weights["q_coeff"],
         "q_w1": weights["q_w1"],
@@ -247,14 +264,24 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
         "v_b1": weights["v_b1"],
         "fw": fw,
         "fb": fb,
-        "f_ln_s": weights["f_ln_s"],
-        "f_ln_b": weights["f_ln_b"],
-        "m_ln_s": weights["m_ln_s"],
-        "m_ln_b": weights["m_ln_b"],
-        "m_w2": weights["m_w2"],
-        "m_b2": weights["m_b2"],
+        "m_w2": m_w2,
+        "m_b2": m_b2,
     }
     return ws2, G, c
+
+
+def _fold_tail_weights(tw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Fold the block-FFN LN scale/bias into its dense 2 (static, latent-free)."""
+    hi = jax.lax.Precision.HIGHEST
+    return {
+        "o_w": tw["o_w"], "o_b": tw["o_b"],
+        "p_w1": tw["p_w1"], "p_b1": tw["p_b1"],
+        "p_w2": tw["p_ln_s"][:, None] * tw["p_w2"],
+        "p_b2": tw["p_b2"] + jnp.dot(tw["p_ln_b"], tw["p_w2"], precision=hi),
+        "h_w1": tw["h_w1"], "h_b1": tw["h_b1"],
+        "h_w2": tw["h_w2"], "h_b2": tw["h_b2"],
+        "h_w3": tw["h_w3"], "h_b3": tw["h_b3"],
+    }
 
 
 def decode_flops_per_point(num_heads, head_dim, hidden, num_latents, inv_dim, num_out,
@@ -309,13 +336,16 @@ def _mm(x, w, dt):
     return jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
 
 
-def _layernorm(x, scale, bias, dt):
-    """f32 LayerNorm; cross-lane VPU reductions measured faster here than routing the
-    stats through ones-matrix MXU matmuls (tried both on v5e; ``dt`` unused)."""
+def _normalize(x, dt):
+    """Normalize-only f32 LayerNorm (scale/bias live folded in the next matmul —
+    ``_fold_weights`` / ``_fold_tail_weights``); the result is stored at the compute
+    dtype so downstream matmul operands need no extra cast pass and bf16 mode halves
+    the VMEM temporaries (which is what lets wider coordinate tiles fit). Cross-lane
+    VPU reductions measured faster here than ones-matrix MXU matmuls (tried both)."""
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean)
     inv = jax.lax.rsqrt(var + _LN_EPS)
-    return (x - mean) * inv * scale + bias
+    return ((x - mean) * inv).astype(dt)
 
 
 def _fast_sincos(proj):
@@ -366,7 +396,7 @@ def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
     else:
         s, c = jnp.sin(2 * jnp.pi * proj), jnp.cos(2 * jnp.pi * proj)
     h = jnp.concatenate([s, c], axis=-1)
-    h = jnp.maximum(_mm(h, w1, dt) + b1, 0.0)
+    h = jnp.maximum(_mm(h, w1, dt) + b1, 0.0).astype(dt)  # store at compute dtype
     return _mm(h, w2, dt) + b2
 
 
@@ -414,7 +444,7 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     dt = spec.compute_dtype
     (q_coeff, q_w1, q_b1, qw, qb,
      v_coeff, v_w1, v_b1, fw, fb,
-     f_ln_s, f_ln_b, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+     m_w2, m_b2) = ws
     Z, T, I = inv3.shape
     hidm = m_w2.shape[0]
     inv2 = inv3.reshape(Z * T, I)
@@ -424,22 +454,22 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     q = _rff_mlp(inv2, q_coeff, q_w1, q_b1, qw, qb, dt)
 
     # Value-side embedding chain (folded into the FiLM FFN's first dense).
-    t = _gelu(_rff_mlp(inv2, v_coeff, v_w1, v_b1, fw, fb, dt), dt)
-    t = _layernorm(t, f_ln_s, f_ln_b, dt)
+    t = _normalize(_gelu(_rff_mlp(inv2, v_coeff, v_w1, v_b1, fw, fb, dt), dt), dt)
 
     # FiLM conditioning + mixer dense 1, folded into ONE batched-per-latent matmul:
     # t[z] @ G[z] + c[z]. Replaces the gamma/beta projection, the [Z*T, H*D]
     # elementwise FiLM (the round-2 measured bottleneck), and the per-head mixer
-    # first matmul. Z is small and static -> unrolled.
+    # first matmul; the FiLM LN scale/bias ride inside G/c. Z is small and
+    # static -> unrolled.
     t3 = t.reshape(Z, T, -1)
     pre = jnp.stack([_mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
     pre2 = pre.reshape(Z * T, H * hidm)
 
-    # Mixer tail per head (gelu -> LN -> dense 2); slices lane-aligned at hidm.
+    # Mixer tail per head (gelu -> normalize -> dense 2 with LN folded in);
+    # slices lane-aligned at hidm.
     cols = []
     for h in range(H):
-        vm = _gelu(pre2[:, h * hidm : (h + 1) * hidm], dt)
-        vm = _layernorm(vm, m_ln_s, m_ln_b, dt)
+        vm = _normalize(_gelu(pre2[:, h * hidm : (h + 1) * hidm], dt), dt)
         cols.append(_mm(vm, m_w2, dt) + m_b2)
     v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
 
@@ -469,15 +499,15 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     if not spec.with_tail:
         return y
 
-    # Fused decode tail: attn out-proj -> block FFN -> gelu -> 3-layer MLP head.
-    (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+    # Fused decode tail: attn out-proj -> block FFN -> gelu -> 3-layer MLP head
+    # (the block LN scale/bias live folded in p_w2/p_b2).
+    (o_w, o_b, p_w1, p_b1, p_w2, p_b2,
      h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
     y = _mm(y, o_w, dt) + o_b
-    t = _gelu(_mm(y, p_w1, dt) + p_b1, dt)
-    t = _layernorm(t, p_ln_s, p_ln_b, dt)
-    y = _gelu(_mm(t, p_w2, dt) + p_b2, dt)
-    h = _gelu(_mm(y, h_w1, dt) + h_b1, dt)
-    h = _gelu(_mm(h, h_w2, dt) + h_b2, dt)
+    t = _normalize(_gelu(_mm(y, p_w1, dt) + p_b1, dt), dt)
+    y = _gelu(_mm(t, p_w2, dt) + p_b2, dt).astype(dt)
+    h = _gelu(_mm(y, h_w1, dt) + h_b1, dt).astype(dt)
+    h = _gelu(_mm(h, h_w2, dt) + h_b2, dt).astype(dt)
     return _mm(h, h_w3, dt) + h_b3
 
 
@@ -797,7 +827,13 @@ def fused_enf_decode(
         head_dim,
     )
     ws = tuple(_as2d(folded[n]) for n in _WEIGHT_NAMES)
-    tws = tuple(_as2d(tail_weights[n]) for n in _TAIL_WEIGHT_NAMES) if with_tail else ()
+    if with_tail:
+        folded_tail = _fold_tail_weights(
+            {n: tail_weights[n].astype(jnp.float32) for n in tail_weights}
+        )
+        tws = tuple(_as2d(folded_tail[n]) for n in _TAIL_WEIGHT_NAMES)
+    else:
+        tws = ()
     y = _op(
         spec,
         inv.astype(jnp.float32),

@@ -71,7 +71,7 @@ def make_ablated(no_sincos=False, no_softmax=False):
         dt = spec.compute_dtype
         (q_coeff, q_w1, q_b1, qw, qb,
          v_coeff, v_w1, v_b1, fw, fb,
-         f_ln_s, f_ln_b, m_ln_s, m_ln_b, m_w2, m_b2) = ws
+         m_w2, m_b2) = ws
         Z, T, I = inv3.shape
         hidm = m_w2.shape[0]
         inv2 = inv3.reshape(Z * T, I)
@@ -85,19 +85,17 @@ def make_ablated(no_sincos=False, no_softmax=False):
             else:
                 s, cc = pd._fast_sincos(proj)
                 h = jnp.concatenate([s, cc], axis=-1)
-            h = jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0)
+            h = jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0).astype(dt)
             return pd._mm(h, w2, dt) + b2
 
         q = rff(inv2, q_coeff, q_w1, q_b1, qw, qb)
-        t = jax.nn.gelu(rff(inv2, v_coeff, v_w1, v_b1, fw, fb))
-        t = pd._layernorm(t, f_ln_s, f_ln_b, dt)
+        t = pd._normalize(jax.nn.gelu(rff(inv2, v_coeff, v_w1, v_b1, fw, fb)), dt)
         t3 = t.reshape(Z, T, -1)
         pre = jnp.stack([pd._mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
         pre2 = pre.reshape(Z * T, H * hidm)
         cols = []
         for h in range(H):
-            vm = jax.nn.gelu(pre2[:, h * hidm : (h + 1) * hidm])
-            vm = pd._layernorm(vm, m_ln_s, m_ln_b, dt)
+            vm = pd._normalize(jax.nn.gelu(pre2[:, h * hidm : (h + 1) * hidm]), dt)
             cols.append(pd._mm(vm, m_w2, dt) + m_b2)
         v_mix = jnp.concatenate(cols, axis=-1)
         qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
@@ -117,30 +115,29 @@ def make_ablated(no_sincos=False, no_softmax=False):
             y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
         if not spec.with_tail:
             return y
-        (o_w, o_b, p_w1, p_b1, p_ln_s, p_ln_b, p_w2, p_b2,
+        (o_w, o_b, p_w1, p_b1, p_w2, p_b2,
          h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
         y = pd._mm(y, o_w, dt) + o_b
-        t = jax.nn.gelu(pd._mm(y, p_w1, dt) + p_b1)
-        t = pd._layernorm(t, p_ln_s, p_ln_b, dt)
-        y = jax.nn.gelu(pd._mm(t, p_w2, dt) + p_b2)
-        h = jax.nn.gelu(pd._mm(y, h_w1, dt) + h_b1)
-        h = jax.nn.gelu(pd._mm(h, h_w2, dt) + h_b2)
+        t = pd._normalize(jax.nn.gelu(pd._mm(y, p_w1, dt) + p_b1), dt)
+        y = jax.nn.gelu(pd._mm(t, p_w2, dt) + p_b2).astype(dt)
+        h = jax.nn.gelu(pd._mm(y, h_w1, dt) + h_b1).astype(dt)
+        h = jax.nn.gelu(pd._mm(h, h_w2, dt) + h_b2).astype(dt)
         return pd._mm(h, h_w3, dt) + h_b3
 
     return tile
 
 
 def make_variant(no_trans=False, no_ln=False):
-    def _ident_ln(x, scale, bias, dt):
-        return x * scale + bias
+    def _ident_ln(x, dt):
+        return x.astype(dt)
 
     def variant(spec, inv3, wb3, k, G, c, ws, tws):
         import enf_pde_tpu.ops.pallas_decode as m
 
         saved = {}
         if no_ln:
-            saved["_layernorm"] = m._layernorm
-            m._layernorm = _ident_ln
+            saved["_normalize"] = m._normalize
+            m._normalize = _ident_ln
         try:
             if no_trans:
                 import jax.nn as jnn
@@ -153,7 +150,7 @@ def make_variant(no_trans=False, no_ln=False):
             return _orig(spec, inv3, wb3, k, G, c, ws, tws)
         finally:
             if no_ln:
-                m._layernorm = saved["_layernorm"]
+                m._normalize = saved["_normalize"]
 
     return variant
 

@@ -30,7 +30,16 @@ run() {
 }
 
 # ---------------------------------------------------------------- A: seed matrix
+# cahn_hilliard s2's round-2 run died at epoch 111 before final validation (the
+# SUMMARY/EXPERIMENTS seed-count discrepancy in VERDICT r2 #8) — rerun it complete.
 export SEEDS="2"
+run cahn_hilliard cahn_hilliard logging.checkpoint=false \
+  dataset.num_signals_train=64 dataset.num_signals_test=16 \
+  dataset.batch_size=4 training.max_num_sampled_points=1024 \
+  training.num_epochs=150 training.nef.train_until_epoch=90 training.ode.train_from_epoch=90 \
+  test.test_interval=150 test.test_dp_interval=150 logging.visualize_every_n_epochs=150 \
+  logging.log_every_n_steps=400
+
 run diff_sphere diff_sphere logging.checkpoint=false \
   dataset.num_signals_train=64 dataset.num_signals_test=16 \
   training.num_epochs=150 training.nef.train_until_epoch=90 training.ode.train_from_epoch=90 \
