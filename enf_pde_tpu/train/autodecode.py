@@ -73,17 +73,24 @@ class AutodecodingTrainer:
         sample_coords = jnp.broadcast_to(
             self.coords[None, :n_init], (1, n_init, self.coords.shape[-1])
         )
-        nef_params = self.decoder.init(nef_key, sample_coords, p, a, window)
-        ode_params = self.ode_model.init(ode_key, (p, a, window))
-        params = {"nef": nef_params, "autodecoder": table, "ode": ode_params}
-        return TrainState(
-            params=params,
-            nef_opt_state=self.opts.nef.init(nef_params),
-            autodecoder_opt_state=self.opts.autodecoder.init(table),
-            ode_opt_state=self.opts.ode.init(ode_params),
-            meta_sgd_opt_state=(),
-            rng=key,
-        )
+        # One jitted program for the whole state build — same rationale as
+        # MetaSGDTrainer.init_state: un-jitted flax/optax init compiles one tiny
+        # program per primitive (slow on CPU, worse on the remote-compile TPU).
+        @jax.jit
+        def _build(nef_key, ode_key, key, table):
+            nef_params = self.decoder.init(nef_key, sample_coords, p, a, window)
+            ode_params = self.ode_model.init(ode_key, (p, a, window))
+            params = {"nef": nef_params, "autodecoder": table, "ode": ode_params}
+            return TrainState(
+                params=params,
+                nef_opt_state=self.opts.nef.init(nef_params),
+                autodecoder_opt_state=self.opts.autodecoder.init(table),
+                ode_opt_state=self.opts.ode.init(ode_params),
+                meta_sgd_opt_state=(),
+                rng=key,
+            )
+
+        return _build(nef_key, ode_key, key, table)
 
     # ------------------------------------------------------------------ losses
 

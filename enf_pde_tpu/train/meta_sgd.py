@@ -109,23 +109,31 @@ class MetaSGDTrainer:
 
         n_init = min(cfg.training.max_num_sampled_points, 128)
         sample_coords = jnp.broadcast_to(self.coords[None, :n_init], (1, n_init, self.coords.shape[-1]))
-        nef_params = self.decoder.init(nef_key, sample_coords, p, a, window)
-        ode_params = self.ode_model.init(ode_key, (p, a, window))
 
-        params = {
-            "nef": nef_params,
-            "autodecoder": latent_init,
-            "meta_sgd_lrs": meta_lrs,
-            "ode": ode_params,
-        }
-        return TrainState(
-            params=params,
-            nef_opt_state=self.opts.nef.init(nef_params),
-            autodecoder_opt_state=self.opts.autodecoder.init(latent_init),
-            ode_opt_state=self.opts.ode.init(ode_params),
-            meta_sgd_opt_state=self.opts.meta_sgd.init(meta_lrs),
-            rng=key,
-        )
+        # One jitted program for the whole state build: un-jitted flax/optax init
+        # compiles one tiny XLA program per primitive (measured 164 compiles /
+        # ~16 s on CPU, and one remote-compile RPC each on the relayed TPU
+        # platform); jitted it is a single (persistently cacheable) program.
+        @jax.jit
+        def _build(nef_key, ode_key, key):
+            nef_params = self.decoder.init(nef_key, sample_coords, p, a, window)
+            ode_params = self.ode_model.init(ode_key, (p, a, window))
+            params = {
+                "nef": nef_params,
+                "autodecoder": latent_init,
+                "meta_sgd_lrs": meta_lrs,
+                "ode": ode_params,
+            }
+            return TrainState(
+                params=params,
+                nef_opt_state=self.opts.nef.init(nef_params),
+                autodecoder_opt_state=self.opts.autodecoder.init(latent_init),
+                ode_opt_state=self.opts.ode.init(ode_params),
+                meta_sgd_opt_state=self.opts.meta_sgd.init(meta_lrs),
+                rng=key,
+            )
+
+        return _build(nef_key, ode_key, key)
 
     # ------------------------------------------------------------------ losses
 

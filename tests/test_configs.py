@@ -27,6 +27,12 @@ def test_config_builds_models_and_trainer(name):
     coords = spec.coords
     cfg.nef.num_in = int(coords.shape[-1])
     cfg.nef.num_out = {"shallow_water_low_res": 3}.get(cfg.dataset.name, 1)
+    # Shrink widths: this test checks schema/shape wiring, not numerics, and
+    # param-init compiles at production widths dominated the fast suite's wall time.
+    cfg.nef.num_hidden = min(cfg.nef.num_hidden, 32)
+    cfg.node.num_hidden = min(cfg.node.num_hidden, 32)
+    cfg.node.basis_dim = min(cfg.node.basis_dim, 16)
+    cfg.training.max_num_sampled_points = min(cfg.training.max_num_sampled_points, 128)
 
     decoder, ode_model = build_models(cfg)
     assert decoder.num_hidden == cfg.nef.num_hidden
