@@ -92,7 +92,16 @@ def _super_resolution_eval(cfg, state, decoder, ode_model, logger):
     hi_trainer = MetaSGDTrainer(hi_cfg, decoder, ode_model, hi_train.coords, seed=cfg.seed)
     mse_in, mse_out, n = 0.0, 0.0, 0
     for batch in hi_test:
-        a, b = hi_trainer.val_step(state, np.asarray(batch[0]), n)
+        try:
+            a, b = hi_trainer.val_step(state, np.asarray(batch[0]), n)
+        except Exception as e:
+            # The hi-res grid compiles a fresh fused-kernel shape after hours of
+            # training; never lose the run's super-res result to a Mosaic failure.
+            if hi_trainer.eval_decoder.backend != "pallas":
+                raise
+            print(f"[superres] pallas eval failed ({e!r}); retrying with xla")
+            hi_trainer.fallback_to_xla_eval()
+            a, b = hi_trainer.val_step(state, np.asarray(batch[0]), n)
         mse_in += float(a)
         mse_out += float(b)
         n += 1
@@ -153,7 +162,14 @@ def _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logge
     def _rollout_mse(st, loader):
         mse_in, mse_out, n = 0.0, 0.0, 0
         for traj, _, idx in loader:
-            a, b = trainer.val_step(st, jnp.asarray(traj), jnp.asarray(idx))
+            try:
+                a, b = trainer.val_step(st, jnp.asarray(traj), jnp.asarray(idx))
+            except Exception as e:
+                if trainer.eval_decoder.backend != "pallas":
+                    raise
+                print(f"[autodecode] pallas eval failed ({e!r}); retrying with xla")
+                trainer.fallback_to_xla_eval()
+                a, b = trainer.val_step(st, jnp.asarray(traj), jnp.asarray(idx))
             mse_in += float(a)
             mse_out += float(b)
             n += 1

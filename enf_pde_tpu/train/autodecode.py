@@ -218,6 +218,14 @@ class AutodecodingTrainer:
         self.ode_train_step = jax.jit(self._ode_train_step)
         self.val_step = jax.jit(self._val_step)
 
+    def fallback_to_xla_eval(self):
+        """Swap validation decoding to the XLA path (see MetaSGDTrainer)."""
+        base = self.decoder
+        if base.backend in ("pallas", "pallas_interpret"):
+            base = base.clone(backend="xla")
+        self.eval_decoder = base
+        self._build_steps()
+
     # ------------------------------------------------------------------ val protocol
 
     def refit_latents(self, state, loader, num_epochs: int, dp: float = 0.0, seed: int = 1):

@@ -247,6 +247,28 @@ class TrainLoop:
         if diffs:
             print(f"[loop] WARNING: resumed config differs from checkpoint: {diffs}")
 
+    def _eval_guarded(self, fn, *args):
+        """Run a validation entry point; on a fused-kernel failure, fall back to XLA.
+
+        The Pallas eval kernel compiles lazily at the first validation. If Mosaic
+        rejects it (new hardware, compiler regression), a multi-hour training run
+        must not die at its first validation epoch — swap the eval decoder to the
+        numerically-equivalent XLA path, rebuild the jitted steps, and retry once.
+        """
+        trainer = self.trainer
+        eval_backend = getattr(trainer, "eval_decoder", trainer.decoder).backend
+        if eval_backend not in ("pallas", "pallas_interpret") or not hasattr(
+            trainer, "fallback_to_xla_eval"
+        ):
+            return fn(*args)
+        try:
+            return fn(*args)
+        except Exception as e:
+            print(f"[loop] pallas eval backend failed ({e!r}); retrying with xla")
+            trainer.fallback_to_xla_eval()
+            self.logger.log({"eval_backend": "xla_fallback"}, step=self.global_step)
+            return fn(*args)
+
     def run(self, num_epochs: int, state: Optional[TrainState] = None) -> TrainState:
         if state is None:
             state = self.trainer.init_state()
@@ -276,9 +298,9 @@ class TrainLoop:
             if self.checkpoints is not None:
                 self.checkpoints.save(epoch, state, self.cfg.to_dict())
             if epoch % self.cfg.test.test_interval == 0:
-                self.validate_epoch(state, epoch)
+                self._eval_guarded(self.validate_epoch, state, epoch)
             if epoch % self.cfg.test.test_dp_interval == 0:
-                self.validate_epoch_dp(state, epoch)
+                self._eval_guarded(self.validate_epoch_dp, state, epoch)
             if viz_every and epoch % viz_every == 0:
                 try:
                     self.visualize_epoch(state, epoch)

@@ -335,6 +335,19 @@ class MetaSGDTrainer:
             dp: jax.jit(partial(self._val_step, dp=dp)) for dp in (0.05, 0.1, 0.5)
         }
 
+    def fallback_to_xla_eval(self):
+        """Swap validation decoding to the XLA path and rebuild the jitted steps.
+
+        Safety valve for Mosaic compile failures on the fused eval kernel (new
+        hardware, compiler regressions): the XLA path is numerically equivalent
+        (tests/test_pallas.py), so a long run degrades in speed, not in results.
+        """
+        base = self.decoder
+        if base.backend in ("pallas", "pallas_interpret"):
+            base = base.clone(backend="xla")
+        self.eval_decoder = base
+        self._build_steps()
+
     def select_train_step(self, epoch: int) -> Tuple[Callable, bool, bool]:
         """Phase scheduling by epoch ranges (reference ``_base_pde_trainer.py:281-299``)."""
         t = self.cfg.training
