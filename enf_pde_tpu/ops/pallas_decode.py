@@ -53,9 +53,14 @@ Design notes (TPU; measured on v5e):
   the meta-SGD outer gradient through the inner loop — works end to end (first-order
   stays fully Pallas; only the grad-of-grad terms fall back to XLA).
 
-The per-head logit sum and its broadcast back over head lanes both ride a single
-matmul with a block-diagonal ones matrix (``_headblock``), keeping every array at
-MXU/VPU-friendly 128-lane shapes.
+- **The query side collapses into per-latent logit matrices** (round 3). The folded
+  q projection, the ``q.k`` contraction with the latent key, the softmax scale, and
+  the per-head sum are pre-contracted in XLA into A [b, z, hid, H] / ab [b, z, H]
+  (``_fold_weights``), so the kernel computes per-head logits as Z narrow
+  ``[T,hid]@[hid,H]`` matmuls straight from the query RFF hidden — ~4x less
+  effective MXU work than the ``[Z*T,hid]@[hid,H*D]`` projection + elementwise
+  ``q*k`` + head-sum matmul it replaces. The softmax weights are broadcast back
+  over head lanes by one tiny ones-matrix matmul (``_headexpand``).
 
 Weight pytree layout is produced by ``extract_attention_weights`` /
 ``extract_tail_weights`` from the flax params of ``ops.attention`` modules (requires
@@ -89,12 +94,21 @@ __all__ = [
 _WEIGHT_NAMES = (
     "q_coeff",  # [I, hid/2]   RFF coefficients (query embedding)
     "q_w1", "q_b1",  # [hid, hid], [hid]   RFF MLP dense 1 (ReLU)
-    "qw", "qb",  # [hid, H*D], [H*D]   folded (RFF MLP dense 2) @ (inv_emb_to_q)
     "v_coeff",  # [I, hid/2]   RFF coefficients (value embedding)
     "v_w1", "v_b1",  # [hid, hid], [hid]   RFF MLP dense 1 (ReLU)
     "fw", "fb",  # [hid, hid], [hid]   folded (RFF MLP dense 2) @ (FiLM FFN dense 1)
     "m_w2", "m_b2",  # mixer dense 2 with the mixer LN scale/bias folded in
 )
+# The whole query-side tail (RFF MLP dense 2 -> inv_emb_to_q -> q.k logit dot with
+# the latent key -> 1/sqrt(D) scale -> per-head sum) is folded into per-(batch,
+# latent) logit matrices A [hid, H] and biases ab [H] (see ``_fold_weights``):
+#
+#   att[z,t,h] = scale * sum_d (hq[z,t] @ qw + qb)[h*D+d] * k[z, h*D+d]
+#              = hq[z,t] @ A_z[:, h] + ab_z[h]
+#
+# replacing a [Z*T,hid]@[hid,H*D] matmul, a [Z*T,H*D] elementwise multiply, and a
+# [Z*T,H*D]@[H*D,H] head-sum matmul with Z narrow [T,hid]@[hid,H] matmuls — ~4x
+# less effective MXU work on the query side at experiment widths (H*D >= 256).
 # Every LayerNorm's scale/bias is folded into the matmul that consumes it
 # ((x_hat*s + b) @ W  ==  x_hat @ (diag(s) W) + b @ W): the FiLM LN into G/c, the
 # mixer LN into m_w2/m_b2, the block-FFN LN into p_w2/p_b2. The kernels run
@@ -193,9 +207,9 @@ def extract_tail_weights(attn_out_proj, block_ffn, head_mlp) -> Dict[str, jnp.nd
     }
 
 
-def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: int,
-                  head_dim: int):
-    """Pre-multiply linear chains and build the per-latent FiLM+mixer matrices.
+def _fold_weights(weights: Dict[str, jnp.ndarray], k: jnp.ndarray, v: jnp.ndarray,
+                  num_heads: int, head_dim: int):
+    """Pre-multiply linear chains and build the per-latent logit/FiLM matrices.
 
     All folds are plain differentiable XLA ops, so weight gradients (and the
     second-order tangents) chain through them automatically; the kernels only ever
@@ -203,11 +217,13 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
 
     Args:
         weights: raw arrays from ``extract_attention_weights``.
+        k: latent keys ``a_to_k(a)`` [b, z, H*D].
         v: latent values ``a_to_v(a)`` [b, z, H*D].
 
     Returns:
-        (ws2, G, c): folded weight dict in ``_WEIGHT_NAMES`` order plus
-        G [b, z, hid, H*hidm] and c [b, z, H*hidm].
+        (ws2, A, ab, G, c): folded weight dict in ``_WEIGHT_NAMES`` order plus the
+        per-latent query-logit matrices A [b, z, hid, H] / biases ab [b, z, H] and
+        the FiLM+mixer matrices G [b, z, hid, H*hidm] / biases c [b, z, H*hidm].
     """
     H, D = num_heads, head_dim
     m_w1 = weights["m_w1"]  # [D, hidm]
@@ -221,6 +237,13 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
     qb = jnp.dot(weights["q_b2"], weights["wq"], precision=hi) + weights["bq"]
     fw = jnp.dot(weights["v_w2"], weights["f_w1"], precision=hi)
     fb = jnp.dot(weights["v_b2"], weights["f_w1"], precision=hi) + weights["f_b1"]
+
+    # Query-logit fold: contract the folded q projection with the latent key over
+    # the head_dim axis, absorbing the 1/sqrt(D) scale (see _WEIGHT_NAMES notes).
+    scale = 1.0 / np.sqrt(D)
+    k4 = k.reshape(b, z, H, D)
+    A = scale * jnp.einsum("xhd,bzhd->bzxh", qw.reshape(-1, H, D), k4, precision=hi)
+    ab = scale * jnp.einsum("hd,bzhd->bzh", qb.reshape(H, D), k4, precision=hi)
 
     # FiLM + mixer-dense-1 fold. f_w2 [hid, 2*H*D]: gamma half then beta half,
     # head h occupying columns h*D:(h+1)*D of each half (reference value layout).
@@ -257,8 +280,6 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
         "q_coeff": weights["q_coeff"],
         "q_w1": weights["q_w1"],
         "q_b1": weights["q_b1"],
-        "qw": qw,
-        "qb": qb,
         "v_coeff": weights["v_coeff"],
         "v_w1": weights["v_w1"],
         "v_b1": weights["v_b1"],
@@ -267,7 +288,7 @@ def _fold_weights(weights: Dict[str, jnp.ndarray], v: jnp.ndarray, num_heads: in
         "m_w2": m_w2,
         "m_b2": m_b2,
     }
-    return ws2, G, c
+    return ws2, A, ab, G, c
 
 
 def _fold_tail_weights(tw: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
@@ -380,14 +401,15 @@ def _gelu(x, dt):
     return jax.nn.gelu(x)
 
 
-def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
-    """RFFNet(num_layers=2): sin/cos features -> ReLU dense -> dense.
+def _rff_hidden(x, coeff, w1, b1, dt):
+    """RFF hidden chain: sin/cos features -> ReLU dense (RFFNet dense 1).
 
     The RFF phase projection stays f32 (phases feed sin/cos); the wide hidden
-    matmuls run at ``dt``. Coefficients are stop-gradient, matching the reference
+    matmul runs at ``dt``. Coefficients are stop-gradient, matching the reference
     (``embedding/rff.py``: ``learnable_coefficients=False``). In bf16 compute mode
     the sin/cos pair uses the polynomial evaluation (see ``_fast_sincos``); strict
-    f32 parity mode keeps the exact libm path.
+    f32 parity mode keeps the exact libm path. The RFFNet dense 2 is folded into
+    whatever consumes it (A on the query side, fw/fb on the value side).
     """
     coeff = jax.lax.stop_gradient(coeff)
     proj = jnp.dot(x, coeff, preferred_element_type=jnp.float32)
@@ -396,25 +418,7 @@ def _rff_mlp(x, coeff, w1, b1, w2, b2, dt):
     else:
         s, c = jnp.sin(2 * jnp.pi * proj), jnp.cos(2 * jnp.pi * proj)
     h = jnp.concatenate([s, c], axis=-1)
-    h = jnp.maximum(_mm(h, w1, dt) + b1, 0.0).astype(dt)  # store at compute dtype
-    return _mm(h, w2, dt) + b2
-
-
-def _headblock(num_heads, head_dim, dt):
-    """Block-diagonal ones [H*D, H*D]: one matmul both sums q*k per head and
-    broadcasts the per-head scalar back over that head's lanes."""
-    hd = num_heads * head_dim
-    i = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // head_dim
-    j = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // head_dim
-    return (i == j).astype(dt)
-
-
-def _headsum(num_heads, head_dim, dt):
-    """Column-block ones [H*D, H]: sums q*k lanes into one logit per head."""
-    hd = num_heads * head_dim
-    i = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0) // head_dim
-    j = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
-    return (i == j).astype(dt)
+    return jnp.maximum(_mm(h, w1, dt) + b1, 0.0).astype(dt)  # store at compute dtype
 
 
 def _headexpand(num_heads, head_dim, dt):
@@ -425,13 +429,15 @@ def _headexpand(num_heads, head_dim, dt):
     return (i == j).astype(dt)
 
 
-def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
+def _tile_decode(spec: _Spec, inv3, wb3, A, ab, G, c, ws, tws):
     """Pure-jnp decode of one coordinate tile, latent axis batched into M.
 
     Args:
         inv3: bi-invariants [Z, T, I] (latent-major).
         wb3: additive window bias [Z, T, 1].
-        k: latent keys [Z, H*D].
+        A / ab: folded query-logit matrices [Z, hid, H] and biases [Z, H]
+            (see ``_fold_weights`` — the latent keys k and the 1/sqrt(D) scale
+            live inside them).
         G / c: folded FiLM+mixer matrices [Z, hid, H*hidm] and biases [Z, H*hidm]
             (see ``_fold_weights`` — the latent values v live inside these).
         ws / tws: weight tuples in ``_WEIGHT_NAMES`` / ``_TAIL_WEIGHT_NAMES`` order.
@@ -442,19 +448,27 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     H, D = spec.num_heads, spec.head_dim
     HD = H * D
     dt = spec.compute_dtype
-    (q_coeff, q_w1, q_b1, qw, qb,
+    (q_coeff, q_w1, q_b1,
      v_coeff, v_w1, v_b1, fw, fb,
      m_w2, m_b2) = ws
     Z, T, I = inv3.shape
     hidm = m_w2.shape[0]
     inv2 = inv3.reshape(Z * T, I)
-    scale = 1.0 / np.sqrt(D)
 
-    # Query chain (folded): [Z*T, hid] -> [Z*T, H*D].
-    q = _rff_mlp(inv2, q_coeff, q_w1, q_b1, qw, qb, dt)
+    # Per-head logits straight from the query RFF hidden: one narrow [T,hid]@[hid,H]
+    # matmul per latent (the folded A absorbs RFF dense 2, the q projection, the
+    # q.k contraction with the key, and the softmax scale).
+    hq3 = _rff_hidden(inv2, q_coeff, q_w1, q_b1, dt).reshape(Z, T, -1)
+    att3 = (
+        jnp.stack([_mm(hq3[z], A[z], dt) for z in range(Z)])
+        + ab[:, None, :]
+        + wb3
+    )  # [Z, T, H]
 
-    # Value-side embedding chain (folded into the FiLM FFN's first dense).
-    t = _normalize(_gelu(_rff_mlp(inv2, v_coeff, v_w1, v_b1, fw, fb, dt), dt), dt)
+    # Value-side embedding chain (RFF dense 2 folded into the FiLM FFN's dense 1).
+    t = _normalize(
+        _gelu(_mm(_rff_hidden(inv2, v_coeff, v_w1, v_b1, dt), fw, dt) + fb, dt), dt
+    )
 
     # FiLM conditioning + mixer dense 1, folded into ONE batched-per-latent matmul:
     # t[z] @ G[z] + c[z]. Replaces the gamma/beta projection, the [Z*T, H*D]
@@ -473,28 +487,16 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
         cols.append(_mm(vm, m_w2, dt) + m_b2)
     v_mix = jnp.concatenate(cols, axis=-1)  # [Z*T, H*D]
 
-    # Per-head logits on a NARROW [Z, T, H] array (exp/max/sum on H lanes instead of
-    # H*D — the wide-softmax variant spent ~8% of kernel time on redundant lanes).
-    qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
-    if dt == jnp.bfloat16:
-        attn = jnp.dot(qk.astype(dt), _headsum(H, D, dt),
-                       preferred_element_type=jnp.float32)  # [Z*T, H]
-        att3 = attn.reshape(Z, T, H) * scale + wb3
-        m = jnp.max(att3, axis=0)
-        pr = jnp.exp(att3 - m)
-        pr = pr / jnp.sum(pr, axis=0)
-        # Expand normalized weights back over head lanes with one tiny MXU matmul.
-        prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), _headexpand(H, D, dt),
-                      preferred_element_type=jnp.float32)
-        y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
-    else:
-        att = jnp.dot(qk.astype(dt), _headblock(H, D, dt),
-                      preferred_element_type=jnp.float32)
-        att3 = att.reshape(Z, T, HD) * scale + wb3
-        m = jnp.max(att3, axis=0)
-        pr = jnp.exp(att3 - m)
-        norm = jnp.sum(pr, axis=0)
-        y = jnp.sum(pr * v_mix.reshape(Z, T, HD), axis=0) / norm  # [T, H*D]
+    # Softmax over latents on the NARROW [Z, T, H] logits (exp/max/sum on H lanes
+    # instead of H*D — the wide-softmax variant spent ~8% of kernel time on
+    # redundant lanes), then one tiny MXU matmul broadcasts the normalized weights
+    # back over head lanes.
+    m = jnp.max(att3, axis=0)
+    pr = jnp.exp(att3 - m)
+    pr = pr / jnp.sum(pr, axis=0)
+    prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), _headexpand(H, D, dt),
+                  preferred_element_type=jnp.float32)
+    y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
 
     if not spec.with_tail:
         return y
@@ -511,16 +513,16 @@ def _tile_decode(spec: _Spec, inv3, wb3, k, G, c, ws, tws):
     return _mm(h, h_w3, dt) + h_b3
 
 
-def _reference_decode(spec: _Spec, inv, wb, k, G, c, ws, tws):
+def _reference_decode(spec: _Spec, inv, wb, A, ab, G, c, ws, tws):
     """Whole-array XLA composition of the same math (second-order path + oracle).
 
     ``inv`` is latent-major [b, Z, C, I]; ``wb`` is [b, Z, C, 1].
     """
 
-    def per_b(inv_b, wb_b, kb, Gb, cb):
-        return _tile_decode(spec, inv_b, wb_b, kb, Gb, cb, ws, tws)
+    def per_b(inv_b, wb_b, Ab, abb, Gb, cb):
+        return _tile_decode(spec, inv_b, wb_b, Ab, abb, Gb, cb, ws, tws)
 
-    return jax.vmap(per_b)(inv, wb, k, G, c)
+    return jax.vmap(per_b)(inv, wb, A, ab, G, c)
 
 
 # ------------------------------------------------------------------- pallas: fwd
@@ -534,18 +536,18 @@ def _const_specs(arrs):
     ]
 
 
-def _fwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, *rest):
+def _fwd_kernel(spec: _Spec, inv_ref, wb_ref, A_ref, ab_ref, G_ref, c_ref, *rest):
     *w_refs, y_ref = rest
     ws = tuple(r[:] for r in w_refs[:_N_W])
     tws = tuple(r[:] for r in w_refs[_N_W:])
     y_ref[0] = _tile_decode(
-        spec, inv_ref[0], wb_ref[0], k_ref[0], G_ref[0], c_ref[0], ws, tws
+        spec, inv_ref[0], wb_ref[0], A_ref[0], ab_ref[0], G_ref[0], c_ref[0], ws, tws
     )
 
 
-def _fwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws):
+def _fwd_pallas(spec: _Spec, inv, wb, A, ab, G, c, ws, tws):
     b, z, cp, i = inv.shape
-    hd = spec.num_heads * spec.head_dim
+    nh = spec.num_heads
     hh = G.shape[-1]
     tile = spec.tile_c
     w_list = list(ws) + list(tws)
@@ -557,7 +559,9 @@ def _fwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, tile, 1), lambda bi, ci: (bi, 0, ci, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, z, hd), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, A.shape[2], nh), lambda bi, ci: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, z, nh), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, G.shape[2], hh), lambda bi, ci: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, z, hh), lambda bi, ci: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -573,25 +577,28 @@ def _fwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws):
             # VMEM); the elementwise temporaries of the fused chains need ~24M.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(inv, wb, k, G, c, *w_list)
+    )(inv, wb, A, ab, G, c, *w_list)
 
 
 # ------------------------------------------------------------------- pallas: bwd
 
 
-def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, g_ref, *rest):
+def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, A_ref, ab_ref, G_ref, c_ref, g_ref,
+                *rest):
     n_in = _N_W + (len(_TAIL_WEIGHT_NAMES) if spec.with_tail else 0)
     w_refs = rest[:n_in]
-    dinv_ref, dwb_ref, dk_ref, dG_ref, dc_ref, *dw_refs = rest[n_in:]
+    dinv_ref, dwb_ref, dA_ref, dab_ref, dG_ref, dc_ref, *dw_refs = rest[n_in:]
     ws = tuple(r[:] for r in w_refs[:_N_W])
     tws = tuple(r[:] for r in w_refs[_N_W:])
     g = g_ref[0]
 
-    def f(inv3, wb3, kk, GG, cc, ws, tws):
-        return _tile_decode(spec, inv3, wb3, kk, GG, cc, ws, tws)
+    def f(inv3, wb3, AA, aab, GG, cc, ws, tws):
+        return _tile_decode(spec, inv3, wb3, AA, aab, GG, cc, ws, tws)
 
-    _, vjp = jax.vjp(f, inv_ref[0], wb_ref[0], k_ref[0], G_ref[0], c_ref[0], ws, tws)
-    dinv, dwb, dk, dG, dc, dws, dtws = vjp(g)
+    _, vjp = jax.vjp(
+        f, inv_ref[0], wb_ref[0], A_ref[0], ab_ref[0], G_ref[0], c_ref[0], ws, tws
+    )
+    dinv, dwb, dA, dab, dG, dc, dws, dtws = vjp(g)
     dw_all = list(dws) + list(dtws)
 
     dinv_ref[0] = dinv
@@ -602,13 +609,15 @@ def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, g_ref, *rest)
 
     @pl.when(first_tile)
     def _():
-        dk_ref[0] = dk
+        dA_ref[0] = dA
+        dab_ref[0] = dab
         dG_ref[0] = dG
         dc_ref[0] = dc
 
     @pl.when(jnp.logical_not(first_tile))
     def _():
-        dk_ref[0] += dk
+        dA_ref[0] += dA
+        dab_ref[0] += dab
         dG_ref[0] += dG
         dc_ref[0] += dc
 
@@ -623,9 +632,9 @@ def _bwd_kernel(spec: _Spec, inv_ref, wb_ref, k_ref, G_ref, c_ref, g_ref, *rest)
             r[...] += dw
 
 
-def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
+def _bwd_pallas(spec: _Spec, inv, wb, A, ab, G, c, ws, tws, g):
     b, z, cp, i = inv.shape
-    hd = spec.num_heads * spec.head_dim
+    nh = spec.num_heads
     hh = G.shape[-1]
     tile = spec.tile_c_bwd
     w_list = list(ws) + list(tws)
@@ -633,13 +642,16 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
     out_shapes = (
         jax.ShapeDtypeStruct((b, z, cp, i), jnp.float32),
         jax.ShapeDtypeStruct((b, z, cp, 1), jnp.float32),
-        jax.ShapeDtypeStruct((b, z, hd), jnp.float32),
+        jax.ShapeDtypeStruct(A.shape, jnp.float32),
+        jax.ShapeDtypeStruct(ab.shape, jnp.float32),
         jax.ShapeDtypeStruct(G.shape, jnp.float32),
         jax.ShapeDtypeStruct(c.shape, jnp.float32),
         *[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in w_list],
     )
     lat_spec = lambda n: pl.BlockSpec((1, z, n), lambda bi, ci: (bi, 0, 0),
                                       memory_space=pltpu.VMEM)
+    A_spec = pl.BlockSpec((1, z, A.shape[2], nh), lambda bi, ci: (bi, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
     G_spec = pl.BlockSpec((1, z, G.shape[2], hh), lambda bi, ci: (bi, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     tile4 = lambda n: pl.BlockSpec((1, z, tile, n), lambda bi, ci: (bi, 0, ci, 0),
@@ -650,7 +662,8 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
         in_specs=[
             tile4(i),
             tile4(1),
-            lat_spec(hd),
+            A_spec,
+            lat_spec(nh),
             G_spec,
             lat_spec(hh),
             pl.BlockSpec((1, tile, spec.out_dim), lambda bi, ci: (bi, ci, 0),
@@ -658,7 +671,7 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
             *_const_specs(w_list),
         ],
         out_specs=(
-            tile4(i), tile4(1), lat_spec(hd), G_spec, lat_spec(hh),
+            tile4(i), tile4(1), A_spec, lat_spec(nh), G_spec, lat_spec(hh),
             *_const_specs(w_list),
         ),
         out_shape=out_shapes,
@@ -667,11 +680,11 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(inv, wb, k, G, c, g, *w_list)
-    dinv, dwb, dk, dG, dc = outs[:5]
-    dws = tuple(outs[5 : 5 + _N_W])
-    dtws = tuple(outs[5 + _N_W :]) if tws else ()
-    return dinv, dwb, dk, dG, dc, dws, dtws
+    )(inv, wb, A, ab, G, c, g, *w_list)
+    dinv, dwb, dA, dab, dG, dc = outs[:6]
+    dws = tuple(outs[6 : 6 + _N_W])
+    dtws = tuple(outs[6 + _N_W :]) if tws else ()
+    return dinv, dwb, dA, dab, dG, dc, dws, dtws
 
 
 # --------------------------------------------------------- custom VJP (2nd order)
@@ -693,8 +706,8 @@ def _bwd_pallas(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _fwd_op(spec: _Spec, inv, wb, k, G, c, ws, tws):
-    return _fwd_pallas(spec, inv, wb, k, G, c, ws, tws)
+def _fwd_op(spec: _Spec, inv, wb, A, ab, G, c, ws, tws):
+    return _fwd_pallas(spec, inv, wb, A, ab, G, c, ws, tws)
 
 
 @_fwd_op.defjvp
@@ -705,17 +718,17 @@ def _fwd_op_jvp(spec, primals, tangents):
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(0,))
-def _bwd_op(spec: _Spec, inv, wb, k, G, c, ws, tws, g):
-    return _bwd_pallas(spec, inv, wb, k, G, c, ws, tws, g)
+def _bwd_op(spec: _Spec, inv, wb, A, ab, G, c, ws, tws, g):
+    return _bwd_pallas(spec, inv, wb, A, ab, G, c, ws, tws, g)
 
 
 @_bwd_op.defjvp
 def _bwd_op_jvp(spec, primals, tangents):
     out = _bwd_pallas(spec, *primals)
 
-    def ref_grads(inv, wb, k, G, c, ws, tws, g):
+    def ref_grads(inv, wb, A, ab, G, c, ws, tws, g):
         _, vjp = jax.vjp(
-            lambda *args: _reference_decode(spec, *args), inv, wb, k, G, c, ws, tws
+            lambda *args: _reference_decode(spec, *args), inv, wb, A, ab, G, c, ws, tws
         )
         return vjp(g)
 
@@ -724,13 +737,13 @@ def _bwd_op_jvp(spec, primals, tangents):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _op(spec: _Spec, inv, wb, k, G, c, ws, tws):
-    return _fwd_op(spec, inv, wb, k, G, c, ws, tws)
+def _op(spec: _Spec, inv, wb, A, ab, G, c, ws, tws):
+    return _fwd_op(spec, inv, wb, A, ab, G, c, ws, tws)
 
 
-def _op_fwd(spec, inv, wb, k, G, c, ws, tws):
-    y = _fwd_op(spec, inv, wb, k, G, c, ws, tws)
-    return y, (inv, wb, k, G, c, ws, tws)
+def _op_fwd(spec, inv, wb, A, ab, G, c, ws, tws):
+    y = _fwd_op(spec, inv, wb, A, ab, G, c, ws, tws)
+    return y, (inv, wb, A, ab, G, c, ws, tws)
 
 
 def _op_bwd(spec, res, g):
@@ -818,10 +831,12 @@ def fused_enf_decode(
         tile_c_bwd=tile_bwd,
         interpret=interpret,
     )
-    # Fold linear chains and build the per-latent FiLM+mixer matrices in XLA
-    # (differentiable; the kernels never see the raw FiLM / mixer-dense-1 weights).
-    folded, G, cc = _fold_weights(
+    # Fold linear chains and build the per-latent logit/FiLM matrices in XLA
+    # (differentiable; the kernels never see the raw keys / FiLM / mixer-dense-1
+    # weights — k gradients flow through the A/ab einsums automatically).
+    folded, A, ab, G, cc = _fold_weights(
         {n: weights[n].astype(jnp.float32) for n in weights},
+        k.astype(jnp.float32),
         v.astype(jnp.float32),
         num_heads,
         head_dim,
@@ -838,7 +853,8 @@ def fused_enf_decode(
         spec,
         inv.astype(jnp.float32),
         window_bias[..., None].astype(jnp.float32),
-        k.astype(jnp.float32),
+        A,
+        ab,
         G,
         cc,
         ws,

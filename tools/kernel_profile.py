@@ -65,19 +65,18 @@ _orig = pd._tile_decode
 def make_ablated(no_sincos=False, no_softmax=False):
     """Reimplementation of the folded _tile_decode with switchable phases."""
 
-    def tile(spec, inv3, wb3, k, G, c, ws, tws):
+    def tile(spec, inv3, wb3, A, ab, G, c, ws, tws):
         H, D = spec.num_heads, spec.head_dim
         HD = H * D
         dt = spec.compute_dtype
-        (q_coeff, q_w1, q_b1, qw, qb,
+        (q_coeff, q_w1, q_b1,
          v_coeff, v_w1, v_b1, fw, fb,
          m_w2, m_b2) = ws
         Z, T, I = inv3.shape
         hidm = m_w2.shape[0]
         inv2 = inv3.reshape(Z * T, I)
-        scale = 1.0 / np.sqrt(D)
 
-        def rff(x, coeff, w1, b1, w2, b2):
+        def rff_hidden(x, coeff, w1, b1):
             coeff = jax.lax.stop_gradient(coeff)
             proj = jnp.dot(x, coeff, preferred_element_type=jnp.float32)
             if no_sincos:
@@ -85,11 +84,17 @@ def make_ablated(no_sincos=False, no_softmax=False):
             else:
                 s, cc = pd._fast_sincos(proj)
                 h = jnp.concatenate([s, cc], axis=-1)
-            h = jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0).astype(dt)
-            return pd._mm(h, w2, dt) + b2
+            return jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0).astype(dt)
 
-        q = rff(inv2, q_coeff, q_w1, q_b1, qw, qb)
-        t = pd._normalize(jax.nn.gelu(rff(inv2, v_coeff, v_w1, v_b1, fw, fb)), dt)
+        hq3 = rff_hidden(inv2, q_coeff, q_w1, q_b1).reshape(Z, T, -1)
+        att3 = (
+            jnp.stack([pd._mm(hq3[z], A[z], dt) for z in range(Z)])
+            + ab[:, None, :]
+            + wb3
+        )
+        t = pd._normalize(
+            jax.nn.gelu(pd._mm(rff_hidden(inv2, v_coeff, v_w1, v_b1), fw, dt) + fb), dt
+        )
         t3 = t.reshape(Z, T, -1)
         pre = jnp.stack([pd._mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
         pre2 = pre.reshape(Z * T, H * hidm)
@@ -98,21 +103,15 @@ def make_ablated(no_sincos=False, no_softmax=False):
             vm = pd._normalize(jax.nn.gelu(pre2[:, h * hidm : (h + 1) * hidm]), dt)
             cols.append(pd._mm(vm, m_w2, dt) + m_b2)
         v_mix = jnp.concatenate(cols, axis=-1)
-        qk = (q.reshape(Z, T, HD) * k[:, None, :]).reshape(Z * T, HD)
-        attn = jnp.dot(qk.astype(dt), pd._headsum(H, D, dt),
-                       preferred_element_type=jnp.float32)
-        att3 = attn.reshape(Z, T, H) * scale + wb3
         if no_softmax:
-            prw = jnp.dot(att3.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
-                          preferred_element_type=jnp.float32)
-            y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
+            pr = att3
         else:
             m = jnp.max(att3, axis=0)
             pr = jnp.exp(att3 - m)
             pr = pr / jnp.sum(pr, axis=0)
-            prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
-                          preferred_element_type=jnp.float32)
-            y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
+        prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
+                      preferred_element_type=jnp.float32)
+        y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
         if not spec.with_tail:
             return y
         (o_w, o_b, p_w1, p_b1, p_w2, p_b2,
@@ -131,7 +130,7 @@ def make_variant(no_trans=False, no_ln=False):
     def _ident_ln(x, dt):
         return x.astype(dt)
 
-    def variant(spec, inv3, wb3, k, G, c, ws, tws):
+    def variant(spec, inv3, wb3, A, ab, G, c, ws, tws):
         import enf_pde_tpu.ops.pallas_decode as m
 
         saved = {}
@@ -144,10 +143,10 @@ def make_variant(no_trans=False, no_ln=False):
                 real_gelu = jnn.gelu
                 jnn.gelu = lambda x: x * (0.5 + 0.25 * x)
                 try:
-                    return _orig(spec, inv3, wb3, k, G, c, ws, tws)
+                    return _orig(spec, inv3, wb3, A, ab, G, c, ws, tws)
                 finally:
                     jnn.gelu = real_gelu
-            return _orig(spec, inv3, wb3, k, G, c, ws, tws)
+            return _orig(spec, inv3, wb3, A, ab, G, c, ws, tws)
         finally:
             if no_ln:
                 m._normalize = saved["_normalize"]
