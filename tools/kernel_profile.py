@@ -126,6 +126,75 @@ def make_ablated(no_sincos=False, no_softmax=False):
     return tile
 
 
+def make_blockdiag_mixer():
+    """Variant: one block-diagonal mixer dense-2 matmul instead of H per-head ones.
+
+    Measures whether merging the per-head [Z*T,hidm]@[hidm,D] matmuls into a single
+    [Z*T,H*hidm]@[H*hidm,H*D] (zeros off-diagonal — 2x the FLOPs at H=2, but one
+    pipeline stage) beats the loop. The gelu+LN stays per head (per-head LN stats).
+    """
+
+    def tile(spec, inv3, wb3, A, ab, G, c, ws, tws):
+        H, D = spec.num_heads, spec.head_dim
+        HD = H * D
+        dt = spec.compute_dtype
+        (q_coeff, q_w1, q_b1,
+         v_coeff, v_w1, v_b1, fw, fb,
+         m_w2, m_b2) = ws
+        Z, T, I = inv3.shape
+        hidm = m_w2.shape[0]
+        inv2 = inv3.reshape(Z * T, I)
+
+        def rff_hidden(x, coeff, w1, b1):
+            coeff = jax.lax.stop_gradient(coeff)
+            proj = jnp.dot(x, coeff, preferred_element_type=jnp.float32)
+            s, cc = pd._fast_sincos(proj)
+            h = jnp.concatenate([s, cc], axis=-1)
+            return jnp.maximum(pd._mm(h, w1, dt) + b1, 0.0).astype(dt)
+
+        hq3 = rff_hidden(inv2, q_coeff, q_w1, q_b1).reshape(Z, T, -1)
+        att3 = (
+            jnp.stack([pd._mm(hq3[z], A[z], dt) for z in range(Z)])
+            + ab[:, None, :]
+            + wb3
+        )
+        t = pd._normalize(
+            jax.nn.gelu(pd._mm(rff_hidden(inv2, v_coeff, v_w1, v_b1), fw, dt) + fb), dt
+        )
+        t3 = t.reshape(Z, T, -1)
+        pre = jnp.stack([pd._mm(t3[z], G[z], dt) for z in range(Z)]) + c[:, None, :]
+        pre2 = pre.reshape(Z * T, H * hidm)
+        vms = [
+            pd._normalize(jax.nn.gelu(pre2[:, h * hidm : (h + 1) * hidm]), dt)
+            for h in range(H)
+        ]
+        vm_all = jnp.concatenate(vms, axis=-1)  # [Z*T, H*hidm]
+        bi = jax.lax.broadcasted_iota(jnp.int32, (H * hidm, HD), 0) // hidm
+        bj = jax.lax.broadcasted_iota(jnp.int32, (H * hidm, HD), 1) // D
+        m_w2_blk = jnp.where(
+            bi == bj, jnp.tile(m_w2, (H, H)), 0.0
+        ).astype(dt)
+        v_mix = pd._mm(vm_all, m_w2_blk, dt) + jnp.tile(m_b2, (1, H))
+        m = jnp.max(att3, axis=0)
+        pr = jnp.exp(att3 - m)
+        pr = pr / jnp.sum(pr, axis=0)
+        prw = jnp.dot(pr.reshape(Z * T, H).astype(dt), pd._headexpand(H, D, dt),
+                      preferred_element_type=jnp.float32)
+        y = jnp.sum(prw.reshape(Z, T, HD) * v_mix.reshape(Z, T, HD), axis=0)
+        if not spec.with_tail:
+            return y
+        (o_w, o_b, p_w1, p_b1, p_w2, p_b2,
+         h_w1, h_b1, h_w2, h_b2, h_w3, h_b3) = tws
+        y = pd._mm(y, o_w, dt) + o_b
+        t = pd._normalize(jax.nn.gelu(pd._mm(y, p_w1, dt) + p_b1), dt)
+        y = jax.nn.gelu(pd._mm(t, p_w2, dt) + p_b2).astype(dt)
+        h = jax.nn.gelu(pd._mm(y, h_w1, dt) + h_b1).astype(dt)
+        h = jax.nn.gelu(pd._mm(h, h_w2, dt) + h_b2).astype(dt)
+        return pd._mm(h, h_w3, dt) + h_b3
+
+    return tile
+
+
 def make_variant(no_trans=False, no_ln=False):
     def _ident_ln(x, dt):
         return x.astype(dt)
@@ -191,6 +260,7 @@ if __name__ == "__main__":
         "no-gelu": dict(patch=make_variant(no_trans=True)),
         "no-layernorm": dict(patch=make_variant(no_ln=True)),
         "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
+        "blockdiag-mixer": dict(patch=make_blockdiag_mixer()),
         "no-sincos": dict(patch=make_ablated(no_sincos=True)),
         "no-softmax": dict(patch=make_ablated(no_softmax=True)),
         "no-sincos-softmax": dict(patch=make_ablated(no_sincos=True, no_softmax=True)),
