@@ -195,6 +195,28 @@ def make_blockdiag_mixer():
     return tile
 
 
+def make_split(parts=2):
+    """Variant: run the tile body on ``parts`` independent sub-tiles.
+
+    The documented bottleneck is serialized VPU interludes between the ~18
+    narrow matmuls. Two independent half-tile chains expose ILP: Mosaic's
+    scheduler can overlap one half's VPU work (normalize/gelu/sincos) with the
+    other half's MXU matmuls. Same math, same FLOPs.
+    """
+
+    def tile(spec, inv3, wb3, A, ab, G, c, ws, tws):
+        Z, T, I = inv3.shape
+        h = T // parts
+        outs = [
+            _orig(spec, inv3[:, p * h : (p + 1) * h], wb3[:, p * h : (p + 1) * h],
+                  A, ab, G, c, ws, tws)
+            for p in range(parts)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    return tile
+
+
 def make_variant(no_trans=False, no_ln=False):
     def _ident_ln(x, dt):
         return x.astype(dt)
@@ -261,6 +283,9 @@ if __name__ == "__main__":
         "no-layernorm": dict(patch=make_variant(no_ln=True)),
         "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
         "blockdiag-mixer": dict(patch=make_blockdiag_mixer()),
+        "split-2": dict(patch=make_split(2)),
+        "split-4": dict(patch=make_split(4)),
+        "split-2-tile-1024": dict(patch=make_split(2), tile_c=1024),
         "no-sincos": dict(patch=make_ablated(no_sincos=True)),
         "no-softmax": dict(patch=make_ablated(no_softmax=True)),
         "no-sincos-softmax": dict(patch=make_ablated(no_sincos=True, no_softmax=True)),
