@@ -22,6 +22,9 @@ run() {
   for seed in $SEEDS; do
     local dir=outputs/r3/${tag}_s${seed}
     if [ -f ${dir}/DONE ]; then echo "skip ${tag}_s${seed}"; continue; fi
+    # Cooperative pause point: `touch /tmp/pause_r3` lets another task borrow the
+    # TPU between fits (the axon platform serializes processes); rm to resume.
+    while [ -f /tmp/pause_r3 ]; do echo "paused $(date +%H:%M:%S)"; sleep 60; done
     echo "=== ${tag} seed ${seed} $(date +%H:%M:%S) ==="
     timeout 10800 python -m enf_pde_tpu.experiments.fit "$@" seed=${seed} \
       logging.log_dir=${dir} dataset.path=data/ \

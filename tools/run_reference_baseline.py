@@ -1,0 +1,337 @@
+"""Run the REFERENCE trainer on this repo's cached data at this repo's budgets.
+
+Executes BASELINE.md's "run the reference configs and record" procedure (VERDICT r2
+weak #3: "nothing establishes what the reference would score at the same budget").
+The reference's own ``MetaSGDPDETrainer`` (``/root/reference/experiments/fitting/
+trainers/pde_trainer.py:14-553``) is imported unmodified and driven through its own
+``train_model`` lifecycle (``_base_pde_trainer.py:239-271``) on
+
+  * the SAME cached npz trajectories this repo's round-2/3 runs trained on,
+  * the SAME budget overrides as ``tools/run_experiments_r3.sh``,
+  * the SAME chip (whatever backend JAX selects — the axon TPU under the driver).
+
+Its wandb metric stream is captured through a stub and the final metrics dict is
+written to ``results/r3/reference_baseline_<dataset>_s<seed>.json`` so BASELINE.md
+and EXPERIMENTS.md can quote measured reference numbers instead of "unexecuted".
+
+The reference ships ``val_step`` unjitted with its ``jax.jit`` wrapping commented
+out (``pde_trainer.py:544-553``); eager per-op dispatch over the remote TPU tunnel
+is pathologically slow, so ``--jit-val`` (default on) re-enables exactly those
+commented-out jit lines — numerics are unchanged.
+
+Usage (needs the TPU to itself — the axon platform serializes processes):
+
+    python tools/run_reference_baseline.py cahn_hilliard --seed 0
+    python tools/run_reference_baseline.py cahn_hilliard --seed 0 --no-jit-val
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+import types
+
+os.environ.setdefault("MPLBACKEND", "Agg")
+
+REF = "/root/reference"
+sys.dont_write_bytecode = True
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import numpy as np
+import yaml
+
+# ----------------------------------------------------------------- wandb capture
+WANDB_LOG: list[dict] = []
+_TRAINER = [None]  # set after construction so log records carry the epoch
+
+
+def _wandb_log(d, commit=True):
+    rec = {str(k): v for k, v in d.items() if not type(v).__name__ == "Image"}
+    if not rec:
+        return
+    if _TRAINER[0] is not None:
+        rec["_epoch"] = int(getattr(_TRAINER[0], "epoch", 0))
+        rec["_global_step"] = int(getattr(_TRAINER[0], "global_step", 0))
+    rec = {k: (float(v) if hasattr(v, "__float__") else v) for k, v in rec.items()}
+    WANDB_LOG.append(rec)
+
+
+def _install_stubs():
+    # The reference imports wandb/omegaconf at module scope; neither is installed.
+    # Same approach as tests/test_reference_training_parity.py:30-55, except the
+    # wandb.log stub here RECORDS the metric stream instead of discarding it.
+    if "wandb" not in sys.modules:
+        stub = types.ModuleType("wandb")
+        stub.log = _wandb_log
+        stub.init = lambda *a, **k: None
+        stub.Image = lambda *a, **k: types.SimpleNamespace()
+        sys.modules["wandb"] = stub
+    if "omegaconf" not in sys.modules:
+        try:
+            import omegaconf  # noqa: F401
+        except ModuleNotFoundError:
+            stub = types.ModuleType("omegaconf")
+
+            class _OmegaConf:
+                @staticmethod
+                def to_container(cfg):
+                    return {}
+
+            stub.OmegaConf = _OmegaConf
+            sys.modules["omegaconf"] = stub
+
+
+# ------------------------------------------------------------------ config glue
+class _NS(dict):
+    """Attribute-access namespace standing in for OmegaConf (test-proven)."""
+
+    __getattr__ = dict.__getitem__
+    __setattr__ = dict.__setitem__
+
+
+def _coerce(v):
+    # yaml.safe_load leaves dot-less scientific notation ("1e-4") as str; hydra
+    # would coerce it. Mirror that so optax gets floats.
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return v
+    return v
+
+
+def _ns(d):
+    return _NS({k: _ns(v) if isinstance(v, dict) else _coerce(v) for k, v in d.items()})
+
+
+# Budgets: keep in lockstep with tools/run_experiments_r3.sh so the reference
+# rows aggregate 1:1 with this repo's result rows.
+BUDGETS = {
+    "cahn_hilliard": dict(
+        num_signals_train=64, num_signals_test=16, batch_size=4,
+        max_num_sampled_points=1024,
+        num_epochs=150, nef_until=90, ode_from=90,
+        test_interval=150, test_dp_interval=150, log_every_n_steps=400,
+    ),
+    "navier_stokes": dict(
+        num_signals_train=128, num_signals_test=32, batch_size=8,
+        max_num_sampled_points=512,  # this repo's NS config default (r2 row budget)
+        num_epochs=400, nef_until=240, ode_from=240,
+        test_interval=400, test_dp_interval=400, log_every_n_steps=800,
+    ),
+    "diff_sphere": dict(
+        num_signals_train=64, num_signals_test=16, batch_size=4,
+        max_num_sampled_points=1024,
+        num_epochs=150, nef_until=90, ode_from=90,
+        test_interval=150, test_dp_interval=150, log_every_n_steps=400,
+    ),
+}
+
+# This repo's cache dir per reference dataset name (data/registry.py keys).
+CACHE_DIR = {
+    "cahn_hilliard": "cahn_hilliard",
+    "navier_stokes": "navier_stokes",
+    "diff_sphere": "diff_sphere",
+}
+
+
+class ListLoader:
+    """Batched loader over cached trajectories, with per-epoch seeded shuffling.
+
+    Mimics the torch DataLoader surface the reference trainer uses: ``len()`` is
+    the number of batches, iteration yields ``(trajectory, coords, index)``
+    (``pde_trainer.py:248`` unpacks exactly that triple).
+    """
+
+    def __init__(self, trajs: np.ndarray, batch_size: int, shuffle: bool, seed: int):
+        self.trajs = trajs
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.n_batches = len(trajs) // batch_size
+
+    def __len__(self):
+        return self.n_batches
+
+    def __iter__(self):
+        order = (
+            self.rng.permutation(len(self.trajs))
+            if self.shuffle
+            else np.arange(len(self.trajs))
+        )
+        for b in range(self.n_batches):
+            idx = order[b * self.bs : (b + 1) * self.bs]
+            yield self.trajs[idx], None, idx
+
+
+def _load_cached(dataset: str, group: str, count: int) -> np.ndarray:
+    d = os.path.join("data", CACHE_DIR[dataset], group)
+    files = sorted(glob.glob(os.path.join(d, "traj_*.npz")))
+    if len(files) < count:
+        raise SystemExit(
+            f"need {count} cached {dataset}/{group} trajectories in {d}, found "
+            f"{len(files)} — run the repo experiment first (its loader fills the cache)"
+        )
+    out = np.stack([np.load(f)["data"] for f in files[:count]])
+    return out.astype(np.float32)
+
+
+def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
+    import jax.numpy as jnp
+
+    if dataset in ("cahn_hilliard", "navier_stokes"):
+        # Verbatim grid construction from the reference entry points
+        # (fit_cahn_hilliard.py:31-33, fit_navier_stokes.py:32-34).
+        return jnp.stack(
+            jnp.meshgrid(
+                jnp.linspace(-1, 1, image_shape[1]),
+                jnp.linspace(-1, 1, image_shape[2]),
+            ),
+            axis=-1,
+        ).reshape(-1, 2)
+    if dataset == "diff_sphere":
+        # fit_diff_sphere.py builds an equiangular (lat, lon) grid.
+        h, w = image_shape[1], image_shape[2]
+        lat = jnp.linspace(0, jnp.pi, h + 1)[:-1] + jnp.pi / (2 * h)
+        lon = jnp.linspace(0, 2 * jnp.pi, w + 1)[:-1]
+        return jnp.stack(jnp.meshgrid(lat, lon, indexing="ij"), axis=-1).reshape(-1, 2)
+    raise SystemExit(f"no coords builder for {dataset}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", choices=sorted(BUDGETS))
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=None, help="override budget epochs")
+    ap.add_argument("--signals", type=int, default=None, help="override train signals")
+    ap.add_argument(
+        "--no-jit-val",
+        action="store_true",
+        help="leave val_step eager, exactly as the reference ships it",
+    )
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    _install_stubs()
+
+    import jax
+
+    if not hasattr(jax, "tree_map"):
+        jax.tree_map = jax.tree.map  # the reference targets an older JAX
+
+    if os.environ.get("REF_BASELINE_CPU"):
+        # sitecustomize pre-registers the TPU platform and ignores JAX_PLATFORMS;
+        # the config knob still works (same trick as tests/conftest.py).
+        jax.config.update("jax_platforms", "cpu")
+
+    budget = dict(BUDGETS[args.dataset])
+    if args.epochs is not None:
+        budget["nef_until"] = max(1, int(budget["nef_until"] * args.epochs / budget["num_epochs"]))
+        budget["ode_from"] = budget["nef_until"]
+        budget["num_epochs"] = args.epochs
+        budget["test_interval"] = min(budget["test_interval"], args.epochs)
+        budget["test_dp_interval"] = min(budget["test_dp_interval"], args.epochs)
+    if args.signals is not None:
+        budget["num_signals_train"] = args.signals
+        budget["num_signals_test"] = max(4, args.signals // 4)
+
+    with open(os.path.join(REF, "experiments/fitting", f"config_{args.dataset}.yaml")) as f:
+        raw = yaml.safe_load(f)
+    raw.pop("hydra", None)
+    cfg = _ns(raw)
+
+    cfg.seed = args.seed
+    cfg.dataset.num_signals_train = budget["num_signals_train"]
+    cfg.dataset.num_signals_test = budget["num_signals_test"]
+    cfg.dataset.batch_size = budget["batch_size"]
+    cfg.training.max_num_sampled_points = budget["max_num_sampled_points"]
+    cfg.training.num_epochs = budget["num_epochs"]
+    cfg.training.nef.train_until_epoch = budget["nef_until"]
+    cfg.training.ode.train_from_epoch = budget["ode_from"]
+    cfg.test.test_interval = budget["test_interval"]
+    cfg.test.test_dp_interval = budget["test_dp_interval"]
+    cfg.logging.log_every_n_steps = budget["log_every_n_steps"]
+    cfg.logging.checkpoint = False
+
+    train = _load_cached(args.dataset, "train", cfg.dataset.num_signals_train)
+    test = _load_cached(args.dataset, "test", cfg.dataset.num_signals_test)
+    image_shape = train.shape[1:]
+    cfg.dataset.image_shape = image_shape
+    # The reference NS config requests 50 out-horizon frames from 20-frame data;
+    # its _val_step would crash reshaping a 60-frame rollout onto a 20-frame
+    # trajectory (pde_trainer.py:365,405). This repo's trainer clamps the horizon
+    # to the data (train/meta_sgd.py), evaluating 10 out-frames — clamp the
+    # reference identically so both report the same protocol.
+    t_data = image_shape[0]
+    cfg.dataset.traj_len_out_horizon = min(
+        cfg.dataset.traj_len_out_horizon, t_data - cfg.dataset.traj_len_train
+    )
+    cfg.nef.num_in = 2
+    cfg.nef.num_out = image_shape[-1]
+
+    coords = _coords_for(args.dataset, image_shape)
+
+    train_loader = ListLoader(train, cfg.dataset.batch_size, shuffle=True, seed=args.seed)
+    val_loader = ListLoader(test, cfg.dataset.batch_size, shuffle=False, seed=args.seed)
+
+    from experiments.fitting import get_model_pde
+    from experiments.fitting.trainers.pde_trainer import MetaSGDPDETrainer
+
+    nef, ode_model = get_model_pde(cfg)
+    trainer = MetaSGDPDETrainer(
+        config=cfg,
+        nef=nef,
+        ode_model=ode_model,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        coords=coords,
+        seed=args.seed,
+    )
+    _TRAINER[0] = trainer
+    trainer.create_functions()
+
+    if not args.no_jit_val:
+        # Re-enable the reference's own commented-out jit lines
+        # (pde_trainer.py:544-548) — eager val over the TPU tunnel is unusable.
+        trainer.val_step = jax.jit(trainer._val_step)
+        trainer.val_step_dp5 = jax.jit(lambda s, b: trainer._val_step(s, b, initial_state_dp=0.05))
+        trainer.val_step_dp10 = jax.jit(lambda s, b: trainer._val_step(s, b, initial_state_dp=0.1))
+        trainer.val_step_dp50 = jax.jit(lambda s, b: trainer._val_step(s, b, initial_state_dp=0.5))
+
+    print(
+        f"[reference-baseline] {args.dataset} seed={args.seed} "
+        f"signals={cfg.dataset.num_signals_train}/{cfg.dataset.num_signals_test} "
+        f"epochs={cfg.training.num_epochs} backend={jax.default_backend()}",
+        flush=True,
+    )
+    t0 = time.time()
+    trainer.train_model(cfg.training.num_epochs)
+    wall = time.time() - t0
+
+    final = {k: float(v) for k, v in trainer.metrics.items()}
+    out = {
+        "dataset": args.dataset,
+        "seed": args.seed,
+        "budget": budget,
+        "backend": jax.default_backend(),
+        "jit_val": not args.no_jit_val,
+        "wall_s": round(wall, 1),
+        "final_metrics": final,
+    }
+    path = args.out or f"results/r3/reference_baseline_{args.dataset}_s{args.seed}.json"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    with open(path.replace(".json", "_log.jsonl"), "w") as f:
+        for rec in WANDB_LOG:
+            f.write(json.dumps(rec) + "\n")
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
