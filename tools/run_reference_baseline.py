@@ -58,6 +58,10 @@ def _wandb_log(d, commit=True):
         rec["_epoch"] = int(getattr(_TRAINER[0], "epoch", 0))
         rec["_global_step"] = int(getattr(_TRAINER[0], "global_step", 0))
     rec = {k: (float(v) if hasattr(v, "__float__") else v) for k, v in rec.items()}
+    # Keep only JSON-encodable scalars: the Image stub returns SimpleNamespace, whose
+    # type name is NOT "Image", so the filter above misses it (crashed the CH s0
+    # JSONL dump after an otherwise-complete run — the metrics json was written).
+    rec = {k: v for k, v in rec.items() if isinstance(v, (int, float, str, bool)) or v is None}
     WANDB_LOG.append(rec)
 
 
@@ -329,7 +333,7 @@ def main():
         json.dump(out, f, indent=1)
     with open(path.replace(".json", "_log.jsonl"), "w") as f:
         for rec in WANDB_LOG:
-            f.write(json.dumps(rec) + "\n")
+            f.write(json.dumps(rec, default=str) + "\n")
     print(json.dumps(out), flush=True)
 
 
