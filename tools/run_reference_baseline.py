@@ -38,9 +38,12 @@ import types
 os.environ.setdefault("MPLBACKEND", "Agg")
 
 REF = "/root/reference"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.dont_write_bytecode = True
 if REF not in sys.path:
     sys.path.insert(0, REF)
+if REPO not in sys.path:
+    sys.path.append(REPO)  # for enf_pde_tpu (diff_sphere coord grid reuse)
 
 import numpy as np
 import yaml
@@ -129,8 +132,10 @@ BUDGETS = {
         test_interval=400, test_dp_interval=400, log_every_n_steps=800,
     ),
     "diff_sphere": dict(
-        num_signals_train=64, num_signals_test=16, batch_size=4,
-        max_num_sampled_points=1024,
+        # This repo's r3 diff_sphere runs use the config defaults for batch size and
+        # point budget (experiments/configs/diff_sphere.yaml:14,50) — mirror them.
+        num_signals_train=64, num_signals_test=16, batch_size=2,
+        max_num_sampled_points=2048,
         num_epochs=150, nef_until=90, ode_from=90,
         test_interval=150, test_dp_interval=150, log_every_n_steps=400,
     ),
@@ -199,11 +204,16 @@ def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
             axis=-1,
         ).reshape(-1, 2)
     if dataset == "diff_sphere":
-        # fit_diff_sphere.py builds an equiangular (lat, lon) grid.
-        h, w = image_shape[1], image_shape[2]
-        lat = jnp.linspace(0, jnp.pi, h + 1)[:-1] + jnp.pi / (2 * h)
-        lon = jnp.linspace(0, 2 * jnp.pi, w + 1)[:-1]
-        return jnp.stack(jnp.meshgrid(lat, lon, indexing="ij"), axis=-1).reshape(-1, 2)
+        # The reference takes coords from its dataset object (fit_diff_sphere.py:32),
+        # and its polar_periodic invariant expects (phi, theta[colatitude]) pairs
+        # (polar_periodic.py:52-60). Use the SAME grid this repo's loader attaches to
+        # the cached trajectories (data/registry.py: angular_coords over
+        # sphere_diffusion_grid) so data layout and coords agree exactly.
+        from enf_pde_tpu.data import angular_coords
+        from enf_pde_tpu.data.diffusion_sphere import sphere_diffusion_grid
+
+        g = sphere_diffusion_grid(image_shape[1], image_shape[2])
+        return jnp.asarray(angular_coords(np.asarray(g.phi), np.asarray(g.theta)))
     raise SystemExit(f"no coords builder for {dataset}")
 
 
@@ -242,7 +252,10 @@ def main():
         budget["test_dp_interval"] = min(budget["test_dp_interval"], args.epochs)
     if args.signals is not None:
         budget["num_signals_train"] = args.signals
-        budget["num_signals_test"] = max(4, args.signals // 4)
+        # At least one full val batch: the reference's validate_epoch crashes on an
+        # empty val loader (its `batch` loop variable is read after the loop,
+        # _base_pde_trainer.py:338) — that sank the NS smoke at 4 signals / batch 8.
+        budget["num_signals_test"] = max(budget["batch_size"], args.signals // 4)
 
     with open(os.path.join(REF, "experiments/fitting", f"config_{args.dataset}.yaml")) as f:
         raw = yaml.safe_load(f)
