@@ -126,7 +126,10 @@ def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader
     for epoch in range(1, cfg.training.num_epochs + 1):
         train_nef = t.nef.train_from_epoch < epoch <= t.nef.train_until_epoch
         train_ode = t.ode.train_from_epoch < epoch <= t.ode.train_until_epoch
-        loss_ep, n = 0.0, 0
+        # Async-dispatch epoch (see train/loop.py): accumulate on device, fetch once
+        # per epoch — a per-step float(loss) costs a device round trip per step.
+        loss_ep, n = None, 0
+        sample_loss = sample_step = None
         for traj, _, idx in train_loader:
             traj, idx = jnp.asarray(traj), jnp.asarray(idx)
             if train_nef:
@@ -135,12 +138,15 @@ def _run_autodecoding(cfg, decoder, ode_model, coords, train_loader, test_loader
                 loss, state = trainer.ode_train_step(state, traj, idx)
             else:
                 continue
-            loss_ep += float(loss)
+            loss_ep = loss if loss_ep is None else loss_ep + loss
             n += 1
             if global_step % cfg.logging.log_every_n_steps == 0:
-                logger.log({"mse_step": float(loss)}, step=global_step)
+                sample_loss, sample_step = loss, global_step
             global_step += 1
-        logger.log({"epoch": epoch, "train_mse_epoch": loss_ep / max(n, 1)}, echo=True)
+        if sample_loss is not None:
+            logger.log({"mse_step": float(sample_loss)}, step=sample_step)
+        mean_loss = float(loss_ep) / max(n, 1) if loss_ep is not None else 0.0
+        logger.log({"epoch": epoch, "train_mse_epoch": mean_loss}, echo=True)
 
         if epoch % cfg.test.test_interval == 0:
             _autodecode_validation(cfg, trainer, state, train_loader, test_loader, logger, epoch)

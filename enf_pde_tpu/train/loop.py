@@ -40,35 +40,40 @@ class TrainLoop:
         self.shard_batch = shard_batch or (lambda x: x)
         self.global_step = 0
         self._equivariance_checked = False
-        self._timer = None
 
     def _batch_traj(self, batch):
         traj = batch[0] if isinstance(batch, (tuple, list)) else batch
         return self.shard_batch(np.asarray(traj))
 
     def train_epoch(self, state: TrainState, epoch: int) -> TrainState:
-        from enf_pde_tpu.utils.profiling import StepTimer
-
-        if self._timer is None:
-            self._timer = StepTimer()
         step_fn, train_nef, train_ode = self.trainer.select_train_step(epoch)
-        loss_ep, n = 0.0, 0
+        # Async-dispatch loop: losses accumulate ON DEVICE and the host never blocks
+        # inside the epoch, so step N+1's host work (batch sampling, transfer) and
+        # dispatch overlap step N's compute. One blocking fetch per epoch. On the
+        # remote-dispatch TPU platform a per-step float(loss) costs a full round
+        # trip per step (~30 ms serialized into every step's wall time).
+        loss_ep, n = None, 0
+        epoch_t0 = time.perf_counter()
+        sample_loss = None
         for batch in self.train_loader:
             loss, state = step_fn(state, self._batch_traj(batch))
-            loss_ep += float(loss)  # forces completion; the timer sees real step time
-            step_s = self._timer.tick()
-            n += 1
+            loss_ep = loss if loss_ep is None else loss_ep + loss
             if self.global_step % self.cfg.logging.log_every_n_steps == 0:
-                metrics = {"mse_step": float(loss)}
-                if step_s:
-                    metrics["step_time_s"] = round(step_s, 4)
-                    metrics["steps_per_sec"] = round(1.0 / step_s, 3)
-                self.logger.log(metrics, step=self.global_step)
+                sample_loss, sample_step = loss, self.global_step
+            n += 1
             self.global_step += 1
+        mean_loss = float(loss_ep) / max(n, 1) if loss_ep is not None else 0.0
+        epoch_s = time.perf_counter() - epoch_t0
+        if sample_loss is not None:
+            metrics = {"mse_step": float(sample_loss)}
+            if n and epoch_s:
+                metrics["step_time_s"] = round(epoch_s / n, 4)
+                metrics["steps_per_sec"] = round(n / epoch_s, 3)
+            self.logger.log(metrics, step=sample_step)
         self.logger.log(
             {
                 "epoch": epoch,
-                "train_mse_epoch": loss_ep / max(n, 1),
+                "train_mse_epoch": mean_loss,
                 "phase": ("nef+ode" if train_nef and train_ode else "nef" if train_nef else "ode"),
             },
             step=self.global_step,
@@ -77,16 +82,20 @@ class TrainLoop:
         return state
 
     def _eval_loader(self, state, loader, step_fn, seed_offset: int = 0):
-        mse_in, mse_out, n = 0.0, 0.0, 0
+        # Device-side accumulation (see train_epoch): one blocking fetch per loader
+        # pass instead of two per batch.
+        mse_in, mse_out, n = None, None, 0
         for batch in loader:
             # batch index + epoch offset decorrelate inner-loop coordinate masks
             # across batches *and* across validation epochs (state.rng only advances
             # with train steps). Traced int arg -> no recompilation per epoch.
             a, b = step_fn(state, self._batch_traj(batch), seed_offset + n)
-            mse_in += float(a)
-            mse_out += float(b)
+            mse_in = a if mse_in is None else mse_in + a
+            mse_out = b if mse_out is None else mse_out + b
             n += 1
-        return mse_in / max(n, 1), mse_out / max(n, 1)
+        if n == 0:
+            return 0.0, 0.0
+        return float(mse_in) / n, float(mse_out) / n
 
     def validate_epoch(self, state: TrainState, epoch: int):
         off = epoch << 20
