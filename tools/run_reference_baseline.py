@@ -60,6 +60,7 @@ def _wandb_log(d, commit=True):
     if _TRAINER[0] is not None:
         rec["_epoch"] = int(getattr(_TRAINER[0], "epoch", 0))
         rec["_global_step"] = int(getattr(_TRAINER[0], "global_step", 0))
+    rec["_t"] = round(time.time(), 3)  # per-record wall clock -> per-epoch step timing
     rec = {k: (float(v) if hasattr(v, "__float__") else v) for k, v in rec.items()}
     # Keep only JSON-encodable scalars: the Image stub returns SimpleNamespace, whose
     # type name is NOT "Image", so the filter above misses it (crashed the CH s0
