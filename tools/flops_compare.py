@@ -119,7 +119,7 @@ def main():
     ours_cfg = load_experiment_config(args.dataset, overrides)
     ours_cfg.dataset.image_shape = list(image_shape)
     ours_cfg.nef.num_in = int(np.asarray(coords).shape[-1])
-    ours_cfg.nef.num_out = int(c)
+    ours_cfg.nef.num_out = int(train.shape[-1])
     ours_cfg.dataset.traj_len_out_horizon = int(cfg.dataset.traj_len_out_horizon)
     decoder, ode = build_models(ours_cfg)
     trainer = MetaSGDTrainer(ours_cfg, decoder, ode, np.asarray(coords), seed=0)
