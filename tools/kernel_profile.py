@@ -279,6 +279,7 @@ if __name__ == "__main__":
         "baseline-512": dict(),
         "tile-256": dict(tile_c=256),
         "tile-1024": dict(tile_c=1024),
+        "tile-2048": dict(tile_c=2048),
         "no-gelu": dict(patch=make_variant(no_trans=True)),
         "no-layernorm": dict(patch=make_variant(no_ln=True)),
         "no-gelu-no-ln": dict(patch=make_variant(no_trans=True, no_ln=True)),
