@@ -224,6 +224,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--epochs", type=int, default=None, help="override budget epochs")
     ap.add_argument("--signals", type=int, default=None, help="override train signals")
+    ap.add_argument("--nef-until", type=int, default=None,
+                    help="explicit nef->ode phase switch epoch (default: scale proportionally)")
+    ap.add_argument("--test-signals", type=int, default=None, help="override test signals")
     ap.add_argument(
         "--no-jit-val",
         action="store_true",
@@ -257,6 +260,11 @@ def main():
         # empty val loader (its `batch` loop variable is read after the loop,
         # _base_pde_trainer.py:338) — that sank the NS smoke at 4 signals / batch 8.
         budget["num_signals_test"] = max(budget["batch_size"], args.signals // 4)
+    if args.nef_until is not None:
+        budget["nef_until"] = args.nef_until
+        budget["ode_from"] = args.nef_until
+    if args.test_signals is not None:
+        budget["num_signals_test"] = args.test_signals
 
     with open(os.path.join(REF, "experiments/fitting", f"config_{args.dataset}.yaml")) as f:
         raw = yaml.safe_load(f)
