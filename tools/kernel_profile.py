@@ -24,6 +24,14 @@ import numpy as np
 from enf_pde_tpu.ops import pallas_decode as pd
 
 B, Z, C, I, HID, H, D, OUT = 480, 4, 4096, 8, 128, 2, 128, 1
+# Width-scaling study (PARITY.md: the kernel is inter-stage-latency bound at the
+# reference's widths, so MFU should rise with wider matmuls at fixed schedule):
+# KP_HID / KP_D / KP_H / KP_Z / KP_B override the workload dims.
+HID = int(os.environ.get("KP_HID", HID))
+D = int(os.environ.get("KP_D", D))
+H = int(os.environ.get("KP_H", H))
+Z = int(os.environ.get("KP_Z", Z))
+B = int(os.environ.get("KP_B", B))
 HDIM = H * D
 
 
@@ -274,6 +282,7 @@ def run(name, tile_c=512, patch=None, **kw):
 
 
 if __name__ == "__main__":
+    print(f"workload: B={B} Z={Z} C={C} I={I} HID={HID} H={H} D={D}", flush=True)
     which = set(sys.argv[1:])
     variants = {
         "baseline-512": dict(),
