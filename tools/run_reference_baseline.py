@@ -140,6 +140,14 @@ BUDGETS = {
         num_epochs=150, nef_until=90, ode_from=90,
         test_interval=150, test_dp_interval=150, log_every_n_steps=400,
     ),
+    "ihc": dict(
+        # Mirror of the ihc64 runs in tools/run_experiments_r3b.sh (this repo's
+        # config batch_size=1, 2048-point budget; 64/16 scaled ball-convection set).
+        num_signals_train=64, num_signals_test=16, batch_size=1,
+        max_num_sampled_points=2048,
+        num_epochs=150, nef_until=100, ode_from=100,
+        test_interval=150, test_dp_interval=150, log_every_n_steps=400,
+    ),
 }
 
 # This repo's cache dir per reference dataset name (data/registry.py keys).
@@ -147,7 +155,13 @@ CACHE_DIR = {
     "cahn_hilliard": "cahn_hilliard",
     "navier_stokes": "navier_stokes",
     "diff_sphere": "diff_sphere",
+    "ihc": "ihc_convection",
 }
+
+# Per-trajectory frame skip applied by this repo's loader at load time
+# (data/registry.py postprocess: ihc and shallow_water drop the first 6
+# spin-up frames). The reference run must see the identical frames.
+FRAME_SKIP = {"ihc": 6}
 
 
 class ListLoader:
@@ -215,6 +229,13 @@ def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
 
         g = sphere_diffusion_grid(image_shape[1], image_shape[2])
         return jnp.asarray(angular_coords(np.asarray(g.phi), np.asarray(g.theta)))
+    if dataset == "ihc":
+        # (phi, theta, r) triples over the 48x24x24 ball grid — this repo's
+        # ball_coords is grid-for-grid identical to the reference's own
+        # construction in fit_ihc.py:33-37 (ij meshgrid, theta offset 1e-3).
+        from enf_pde_tpu.data import ball_coords
+
+        return jnp.asarray(ball_coords(image_shape[1], image_shape[2], image_shape[3]))
     raise SystemExit(f"no coords builder for {dataset}")
 
 
@@ -286,6 +307,9 @@ def main():
 
     train = _load_cached(args.dataset, "train", cfg.dataset.num_signals_train)
     test = _load_cached(args.dataset, "test", cfg.dataset.num_signals_test)
+    skip = FRAME_SKIP.get(args.dataset, 0)
+    if skip:
+        train, test = train[:, skip:], test[:, skip:]
     image_shape = train.shape[1:]
     cfg.dataset.image_shape = image_shape
     # The reference NS config requests 50 out-horizon frames from 20-frame data;
@@ -297,7 +321,7 @@ def main():
     cfg.dataset.traj_len_out_horizon = min(
         cfg.dataset.traj_len_out_horizon, t_data - cfg.dataset.traj_len_train
     )
-    cfg.nef.num_in = 2
+    cfg.nef.num_in = 3 if args.dataset == "ihc" else 2
     cfg.nef.num_out = image_shape[-1]
 
     coords = _coords_for(args.dataset, image_shape)
