@@ -807,6 +807,13 @@ def fused_enf_decode(
     tile_bwd = min(tile_c_bwd, -(-c // 8) * 8)
     tile = max(tile_bwd, min(tile_c, -(-c // tile_bwd) * tile_bwd))
     tile = -(-tile // tile_bwd) * tile_bwd  # keep fwd/bwd tilings aligned
+    # The kernel's Mosaic scoped-vmem stack scales with z*tile rows (~5.6 KB/row
+    # measured on v5e against the 64M limit below): large-latent models must trade
+    # coordinate-tile width for latent count or the compile OOMs — the ball configs
+    # (z=25) hit exactly this at the former fixed tile (71.71M > 64M).
+    max_rows = 8192
+    if z * tile > max_rows:
+        tile = max(tile_bwd, max_rows // z // tile_bwd * tile_bwd)
     pad = (-c) % tile
     if pad:
         inv = jnp.pad(inv, ((0, 0), (0, 0), (0, pad), (0, 0)))

@@ -224,6 +224,7 @@ class AutodecodingTrainer:
         if base.backend in ("pallas", "pallas_interpret"):
             base = base.clone(backend="xla")
         self.eval_decoder = base
+        jax.clear_caches()  # see MetaSGDTrainer.fallback_to_xla_eval
         self._build_steps()
 
     # ------------------------------------------------------------------ val protocol

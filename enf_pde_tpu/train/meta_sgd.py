@@ -346,6 +346,10 @@ class MetaSGDTrainer:
         if base.backend in ("pallas", "pallas_interpret"):
             base = base.clone(backend="xla")
         self.eval_decoder = base
+        # Drop every cached trace/executable: the failed kernel's program must not
+        # be resurrected through jit-dispatch caches keyed on bound-method equality
+        # (the ihc64 s0 run retried into the identical failed Mosaic compile).
+        jax.clear_caches()
         self._build_steps()
 
     def select_train_step(self, epoch: int) -> Tuple[Callable, bool, bool]:

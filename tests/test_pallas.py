@@ -87,6 +87,22 @@ def test_kernel_parity_three_heads_ball():
     _check_parity(BallInvariant(), x, p, num_heads=3)
 
 
+def test_kernel_parity_large_latent_count_tile_cap():
+    """z=25 (the ihc configs) triggers the scoped-vmem coordinate-tile cap.
+
+    The fused kernel's Mosaic stack scales with z*tile rows; at z=25 the former
+    fixed 512-wide tile compiled to a 71.71M scoped allocation > the 64M budget
+    on v5e (ihc64 s0 validation died, round 3). fused_enf_decode now shrinks the
+    tile for large-z models — this pins numerics through the capped-tile path
+    (646 coords: several capped tiles plus a ragged remainder).
+    """
+    z_big = 25
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, 646, 3), minval=0.1, maxval=1.0)
+    lat = init_latents(B, z_big, LAT, num_pos_dims=4, num_ori_dims=0, coordinate_system="ball")
+    p, _, _ = latents_to_pose(lat)
+    _check_parity(BallInvariant(), x, p, num_heads=3)
+
+
 def test_kernel_parity_ragged_coords():
     """Coordinate counts that don't divide the tile size exercise padding/masking."""
     x = jax.random.normal(jax.random.PRNGKey(0), (B, 37, 2))
