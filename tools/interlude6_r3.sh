@@ -13,6 +13,20 @@ hold() { while [ -f /tmp/pause_r3 ]; do sleep 60; done }
 # queue's remaining navier_stokes_full seeds are already DONE and skip).
 while [ ! -f outputs/r3/ihc64_s2/DONE ]; do sleep 120; done
 
+# Re-run ihc64 s0: its original slot burned both attempts on the pre-fix
+# kernel vmem OOM (see the tile-cap commit), so the runner advanced past it.
+dir=outputs/r3/ihc64_s0
+if [ ! -f ${dir}/DONE ]; then
+  hold
+  timeout 10800 python -m enf_pde_tpu.experiments.fit ihc seed=0 \
+    logging.log_dir=${dir} dataset.path=data/ logging.checkpoint=false \
+    dataset.num_signals_train=64 dataset.num_signals_test=16 \
+    training.num_epochs=150 training.nef.train_until_epoch=100 training.ode.train_from_epoch=100 \
+    test.test_interval=150 test.test_dp_interval=150 logging.visualize_every_n_epochs=150 \
+    test.test_equiv_at_epoch=100 logging.log_every_n_steps=400 \
+    && touch ${dir}/DONE
+fi
+
 for seed in 0 1; do
   hold
   if [ ! -f results/r3/reference_baseline_ihc_s${seed}.json ]; then
