@@ -1,0 +1,24 @@
+#!/bin/bash
+# Chain after interlude6: (a) reference IHC baseline seed 2 so the B^3
+# head-to-head is 3-seed-vs-3-seed like the NS/CH/diff_sphere rows, then
+# (b) the full-epoch-budget IHC flagship (interlude7 — checkpointed+resumable,
+# so a round boundary doesn't lose it).
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=5
+
+hold() { while [ -f /tmp/pause_r3 ]; do sleep 60; done }
+
+# Wait for interlude6 (ihc64 s0 rerun + ref ihc s0/s1) to release the chip.
+while kill -0 "$(cat /tmp/interlude6.pid 2>/dev/null)" 2>/dev/null; do sleep 120; done
+
+hold
+if [ ! -f results/r3/reference_baseline_ihc_s2.json ]; then
+  timeout 7200 python tools/run_reference_baseline.py ihc --seed 2 \
+    || echo "--- ref ihc s2 failed"
+fi
+
+hold
+bash tools/interlude7_r3.sh >> outputs/interlude7.log 2>&1
+echo INTERLUDE8_DONE $(date)
