@@ -148,6 +148,23 @@ BUDGETS = {
         num_epochs=150, nef_until=100, ode_from=100,
         test_interval=150, test_dp_interval=150, log_every_n_steps=400,
     ),
+    "shallow_water": dict(
+        # Mirror of this repo's shallow_water rows (tools/run_experiments_r2.sh:52
+        # + configs/shallow_water.yaml: batch 1, 2048-point budget). Trains on the
+        # 96x48 low-res set; the reference protocol then zero-shot-validates the
+        # trained state on the full 192x96 grid (fit_shallow_water.py:65-91).
+        num_signals_train=32, num_signals_test=8, batch_size=1,
+        max_num_sampled_points=2048,
+        num_epochs=250, nef_until=150, ode_from=150,
+        test_interval=250, test_dp_interval=250, log_every_n_steps=400,
+    ),
+    "diff_plane": dict(
+        # Mirror of this repo's diffusion_plane rows (run_experiments_r2.sh:44).
+        num_signals_train=64, num_signals_test=16, batch_size=8,
+        max_num_sampled_points=1024,
+        num_epochs=100, nef_until=60, ode_from=60,
+        test_interval=100, test_dp_interval=100, log_every_n_steps=200,
+    ),
 }
 
 # This repo's cache dir per reference dataset name (data/registry.py keys).
@@ -156,12 +173,21 @@ CACHE_DIR = {
     "navier_stokes": "navier_stokes",
     "diff_sphere": "diff_sphere",
     "ihc": "ihc_convection",
+    "shallow_water": "shallow_water",  # cache stores 192x96; low-res pooled at load
+    "diff_plane": "diffusion_plane",
 }
 
 # Per-trajectory frame skip applied by this repo's loader at load time
 # (data/registry.py postprocess: ihc and shallow_water drop the first 6
 # spin-up frames). The reference run must see the identical frames.
-FRAME_SKIP = {"ihc": 6}
+FRAME_SKIP = {"ihc": 6, "shallow_water": 6}
+
+
+def _pool_2x2(trajs: np.ndarray) -> np.ndarray:
+    """[N, T, H, W, C] -> 2x2 mean-pooled, the registry's low-res postprocess
+    (data/shallow_water.py::_avg_pool_2x2) applied batch-wise."""
+    n, t, h, w, c = trajs.shape
+    return trajs.reshape(n, t, h // 2, 2, w // 2, 2, c).mean(axis=(3, 5))
 
 
 class ListLoader:
@@ -208,9 +234,10 @@ def _load_cached(dataset: str, group: str, count: int) -> np.ndarray:
 def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
     import jax.numpy as jnp
 
-    if dataset in ("cahn_hilliard", "navier_stokes"):
+    if dataset in ("cahn_hilliard", "navier_stokes", "diff_plane"):
         # Verbatim grid construction from the reference entry points
-        # (fit_cahn_hilliard.py:31-33, fit_navier_stokes.py:32-34).
+        # (fit_cahn_hilliard.py:31-33, fit_navier_stokes.py:32-34,
+        # fit_diff_plane.py:32-33).
         return jnp.stack(
             jnp.meshgrid(
                 jnp.linspace(-1, 1, image_shape[1]),
@@ -236,6 +263,15 @@ def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
         from enf_pde_tpu.data import ball_coords
 
         return jnp.asarray(ball_coords(image_shape[1], image_shape[2], image_shape[3]))
+    if dataset == "shallow_water":
+        # (phi, theta) pairs over the Gauss-Legendre sphere grid at whatever
+        # resolution image_shape carries (96x48 low-res train / 192x96 super-res)
+        # — the identical grid this repo's loader attaches (data/registry.py).
+        from enf_pde_tpu.data import angular_coords
+        from enf_pde_tpu.data.sphere_harmonics import SphereGrid
+
+        g = SphereGrid(image_shape[1], image_shape[2])
+        return jnp.asarray(angular_coords(np.asarray(g.phi), np.asarray(g.theta)))
     raise SystemExit(f"no coords builder for {dataset}")
 
 
@@ -310,6 +346,13 @@ def main():
     skip = FRAME_SKIP.get(args.dataset, 0)
     if skip:
         train, test = train[:, skip:], test[:, skip:]
+    if args.dataset == "shallow_water":
+        # The cache stores the 192x96 solver output; training runs on the 2x2
+        # mean-pooled 96x48 grid (registry's shallow_water_low_res postprocess /
+        # reference dataset.name=shallow_water_low_res). Keep the hi-res test
+        # split for the zero-shot super-resolution validation afterwards.
+        test_hi = test
+        train, test = _pool_2x2(train), _pool_2x2(test)
     image_shape = train.shape[1:]
     cfg.dataset.image_shape = image_shape
     # The reference NS config requests 50 out-horizon frames from 20-frame data;
@@ -345,6 +388,14 @@ def main():
     _TRAINER[0] = trainer
     trainer.create_functions()
 
+    if args.dataset == "shallow_water":
+        # The reference's image viz drops the first channel when C>1
+        # (_base_pde_trainer.py:604-606) and then imshows the remaining TWO
+        # channels (:619) — a TypeError for its own 3-channel shallow-water data
+        # (h + 2 velocity components, pdes.py:679). Metrics never touch this
+        # path; disable it rather than patch reference behavior.
+        trainer.visualize_batch = lambda *a, **k: None
+
     if not args.no_jit_val:
         # Re-enable the reference's own commented-out jit lines
         # (pde_trainer.py:544-548) — eager val over the TPU tunnel is unusable.
@@ -360,10 +411,40 @@ def main():
         flush=True,
     )
     t0 = time.time()
-    trainer.train_model(cfg.training.num_epochs)
+    final_state = trainer.train_model(cfg.training.num_epochs)
     wall = time.time() - t0
 
     final = {k: float(v) for k, v in trainer.metrics.items()}
+
+    if args.dataset == "shallow_water":
+        # Zero-shot super-resolution: validate the trained low-res state on the
+        # full 192x96 grid, exactly the reference protocol
+        # (fit_shallow_water.py:65-91 — second trainer over the hi-res dataset,
+        # one validate_epoch on the final state; no retraining).
+        train_hi = _load_cached(args.dataset, "train", cfg.dataset.num_signals_train)[:, skip:]
+        hi_shape = train_hi.shape[1:]
+        cfg.dataset.image_shape = hi_shape
+        coords_hi = _coords_for(args.dataset, hi_shape)
+        hi_trainer = MetaSGDPDETrainer(
+            config=cfg,
+            nef=nef,
+            ode_model=ode_model,
+            train_loader=ListLoader(train_hi, cfg.dataset.batch_size, shuffle=False, seed=args.seed),
+            val_loader=ListLoader(test_hi, cfg.dataset.batch_size, shuffle=False, seed=args.seed),
+            coords=coords_hi,
+            seed=args.seed,
+        )
+        hi_trainer.create_functions()
+        hi_trainer.visualize_batch = lambda *a, **k: None  # same 3-channel viz bug
+        if not args.no_jit_val:
+            hi_trainer.val_step = jax.jit(hi_trainer._val_step)
+        t1 = time.time()
+        hi_trainer.validate_epoch(final_state)
+        final["superres_mse_in_t"] = float(hi_trainer.metrics["val_mse_in_t"])
+        final["superres_mse_out_t"] = float(hi_trainer.metrics["val_mse_out_t"])
+        final["superres_train_mse_in_t"] = float(hi_trainer.metrics["train_mse_in_t"])
+        final["superres_train_mse_out_t"] = float(hi_trainer.metrics["train_mse_out_t"])
+        final["superres_wall_s"] = round(time.time() - t1, 1)
     out = {
         "dataset": args.dataset,
         "seed": args.seed,
