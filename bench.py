@@ -114,11 +114,13 @@ def bench_ours(decoder, params, x, p, a, window, chunk=2048):
     return _time(run, params, x, p, a, window)
 
 
-def bench_train_step(backend: str = "xla"):
+def bench_train_step(backend: str = "xla", ode_backend: str = None):
     """Meta-SGD dual train step (2nd-order inner loop + rollout + decode), NS config.
 
     Matches the shape of the round-1 prose measurement: batch 4, 512 sampled points,
-    3 inner steps, 10-frame rollout.
+    3 inner steps, 10-frame rollout. ``ode_backend='pallas'`` routes the
+    rollout decode through the fused kernel (``nef.ode_backend``), the
+    production opt-in for the first-order ode/dual-phase decode.
     """
     from enf_pde_tpu.builders import build_models
     from enf_pde_tpu.config import load_experiment_config
@@ -131,7 +133,8 @@ def bench_train_step(backend: str = "xla"):
             "dataset.batch_size=4",
             "training.max_num_sampled_points=512",
             f"nef.backend={backend}",
-        ],
+        ]
+        + ([f"nef.ode_backend={ode_backend}"] if ode_backend else []),
     )
     cfg.nef.num_in = 2
     cfg.nef.num_out = 1
@@ -196,7 +199,32 @@ def _claim_tpu():
     print("warning: TPU processes survived preemption window", file=sys.stderr)
 
 
+def _release_tpu():
+    """Undo ``_claim_tpu``'s pause flag so the experiment queue resumes.
+
+    Round 3 left ``/tmp/pause_r3`` behind after the driver's bench run, which
+    silently froze the restoration queue for a whole round (VERDICT r3 weak #1 /
+    next-round #9). Registered via ``finally`` in ``main`` so it runs on success,
+    exception, and SystemExit alike.
+    """
+    import os
+
+    if os.environ.get("BENCH_NO_PREEMPT"):
+        return
+    try:
+        os.unlink("/tmp/pause_r3")
+    except OSError:
+        pass
+
+
 def main():
+    try:
+        _run()
+    finally:
+        _release_tpu()
+
+
+def _run():
     _claim_tpu()
     backend = "xla"
     try:
@@ -265,6 +293,12 @@ def main():
         extra["train_steps_per_sec"] = round(1.0 / t_step, 3)
     except Exception as e:  # never let the extras break the driver contract
         extra["train_step_error"] = repr(e)
+    if on_tpu:
+        try:
+            t_step_p = bench_train_step("xla", ode_backend="pallas")
+            extra["train_step_ode_pallas_s"] = round(t_step_p, 4)
+        except Exception as e:
+            extra["train_step_ode_pallas_error"] = repr(e)
     print(json.dumps(extra), file=sys.stderr)
     try:
         with open("BENCH_EXTRA.json", "w") as f:

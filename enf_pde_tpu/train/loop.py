@@ -297,13 +297,34 @@ class TrainLoop:
                 "eval_backend": getattr(
                     self.trainer, "eval_decoder", self.trainer.decoder
                 ).backend,
+                "ode_backend": getattr(
+                    self.trainer, "ode_decoder", self.trainer.decoder
+                ).backend,
             },
             step=self.global_step,
             echo=True,
         )
         viz_every = self.cfg.get_path("logging.visualize_every_n_epochs", 0)
         for epoch in range(start_epoch, num_epochs + 1):
-            state = self.train_epoch(state, epoch)
+            try:
+                state = self.train_epoch(state, epoch)
+            except Exception as e:
+                # Same Mosaic-failure safety valve as _eval_guarded, for the
+                # ode/dual-phase fused decode (nef.ode_backend: pallas). The
+                # kernel fails at its first compile — i.e. on the phase's first
+                # step, before any state buffer was donated — so retrying the
+                # epoch on the XLA path is safe.
+                ode_backend = getattr(
+                    self.trainer, "ode_decoder", self.trainer.decoder
+                ).backend
+                if ode_backend not in ("pallas", "pallas_interpret") or not hasattr(
+                    self.trainer, "fallback_to_xla_eval"
+                ):
+                    raise
+                print(f"[loop] pallas ode backend failed ({e!r}); retrying epoch with xla")
+                self.trainer.fallback_to_xla_eval()
+                self.logger.log({"ode_backend": "xla_fallback"}, step=self.global_step)
+                state = self.train_epoch(state, epoch)
             if self.checkpoints is not None:
                 self.checkpoints.save(epoch, state, self.cfg.to_dict())
             if epoch % self.cfg.test.test_interval == 0:

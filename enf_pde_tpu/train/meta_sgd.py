@@ -30,7 +30,7 @@ from enf_pde_tpu.models.latents import init_latents, latents_to_pose
 from enf_pde_tpu.train.inner_loop import InnerLoopConfig, init_meta_sgd_lrs, make_inner_loop
 from enf_pde_tpu.train.state import TrainState, make_optimizers
 
-__all__ = ["MetaSGDTrainer", "resolve_eval_backend"]
+__all__ = ["MetaSGDTrainer", "resolve_eval_backend", "resolve_ode_backend"]
 
 
 def resolve_eval_backend(cfg, decoder) -> str:
@@ -42,6 +42,21 @@ def resolve_eval_backend(cfg, decoder) -> str:
     ``pallas_interpret`` is left untouched — it is the explicit CPU debug mode.
     """
     backend = cfg.nef.get("eval_backend", decoder.backend)
+    if backend == "pallas" and jax.default_backend() != "tpu":
+        return decoder.backend if decoder.backend != "pallas" else "xla"
+    return backend
+
+
+def resolve_ode_backend(cfg, decoder) -> str:
+    """Backend for the ode/dual-phase rollout decode (``_ode_loss``).
+
+    That decode sits OUTSIDE the K-step inner loop, so its gradients are plain
+    first-order VJPs — exactly what the fused kernel's custom VJP serves — while
+    the nef phase's second-order objective stays on the train (XLA) path.
+    ``nef.ode_backend: pallas`` opts a config in; default is the train backend
+    (i.e. no behavior change). Same TPU-only gating as ``resolve_eval_backend``.
+    """
+    backend = cfg.nef.get("ode_backend", decoder.backend)
     if backend == "pallas" and jax.default_backend() != "tpu":
         return decoder.backend if decoder.backend != "pallas" else "xla"
     return backend
@@ -79,6 +94,13 @@ class MetaSGDTrainer:
             self.eval_decoder = decoder.clone(backend=eval_backend)
         else:
             self.eval_decoder = decoder
+        # The ode/dual-phase rollout decode is first-order in the decoder, so it
+        # can run the fused kernel while the inner loop stays on XLA.
+        ode_backend = resolve_ode_backend(cfg, decoder)
+        if ode_backend != decoder.backend:
+            self.ode_decoder = decoder.clone(backend=ode_backend)
+        else:
+            self.ode_decoder = decoder
         self._build_steps()
 
     # ------------------------------------------------------------------ state init
@@ -194,7 +216,7 @@ class MetaSGDTrainer:
             ).reshape(b * T, num_coords, -1)
             ys = traj_fl.reshape(b * T, num_coords, trajectory.shape[-1])
 
-        recon = self.decoder.apply(params["nef"], xs, p_fl, a_fl, w_fl)
+        recon = self.ode_decoder.apply(params["nef"], xs, p_fl, a_fl, w_fl)
         return jnp.mean((recon - ys) ** 2)
 
     # ------------------------------------------------------------------ updates
@@ -235,9 +257,24 @@ class MetaSGDTrainer:
 
     def _ode_train_step(self, state: TrainState, trajectory):
         loss_key, next_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(self._ode_loss)(state.params, trajectory, loss_key)
+        if self.ode_decoder is not self.decoder:
+            # ode_backend opt-in: differentiate wrt the ode params only. The pure
+            # ode phase never applies the nef/meta-lr/autodecoder gradients, yet
+            # the full-grad path still backprops them through the K-step inner
+            # loop (second-order) — pure waste, and the only thing keeping this
+            # step off the fused kernel. Identical loss, identical applied grads.
+            # (Gated on the opt-in so default-config runs keep the committed
+            # round-3 numerics bit-for-bit while their raw evidence re-records.)
+            loss, ode_grads = jax.value_and_grad(
+                lambda op: self._ode_loss(dict(state.params, ode=op), trajectory, loss_key)
+            )(state.params["ode"])
+        else:
+            loss, grads = jax.value_and_grad(self._ode_loss)(
+                state.params, trajectory, loss_key
+            )
+            ode_grads = grads["ode"]
         ode_updates, ode_opt_state = self.opts.ode.update(
-            grads["ode"], state.ode_opt_state, state.params["ode"]
+            ode_grads, state.ode_opt_state, state.params["ode"]
         )
         ode_params = optax.apply_updates(state.params["ode"], ode_updates)
         return loss, state.replace(
@@ -346,6 +383,10 @@ class MetaSGDTrainer:
         if base.backend in ("pallas", "pallas_interpret"):
             base = base.clone(backend="xla")
         self.eval_decoder = base
+        # The ode-phase decoder runs the same fused kernel — a Mosaic failure in
+        # one implies the other; degrade both together.
+        if self.ode_decoder.backend in ("pallas", "pallas_interpret"):
+            self.ode_decoder = base
         # Drop every cached trace/executable: the failed kernel's program must not
         # be resurrected through jit-dispatch caches keyed on bound-method equality
         # (the ihc64 s0 run retried into the identical failed Mosaic compile).

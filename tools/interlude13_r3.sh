@@ -1,4 +1,6 @@
 #!/bin/bash
+# SUPERSEDED by tools/queue_r4.sh (round 4) — do not launch (ADVICE r3).
+echo "superseded by tools/queue_r4.sh" >&2; exit 1
 # Restore RAW evidence for the re-measured (reference-exact-shape) rows.
 #
 # The interlude12 reruns of diff_sphere / diff_sphere_abspos / ihc64 /

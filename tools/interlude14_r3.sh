@@ -1,4 +1,6 @@
 #!/bin/bash
+# SUPERSEDED by tools/queue_r4.sh (round 4) — do not launch (ADVICE r3).
+echo "superseded by tools/queue_r4.sh" >&2; exit 1
 # Data-availability-aware reorder of interlude13 (same goal: restore raw evidence
 # for the re-measured reference-exact-shape rows, then the full-budget flagships).
 #

@@ -158,6 +158,18 @@ BUDGETS = {
         num_epochs=250, nef_until=150, ode_from=150,
         test_interval=250, test_dp_interval=250, log_every_n_steps=400,
     ),
+    "navier_stokes_nonmaml": dict(
+        # Mirror of this repo's autodecoding-baseline rows
+        # (run_experiments_r2.sh:75-78 / r3.sh:64-67): 128/32 signals, 300 epochs
+        # (nef 0-200 / ode 200-300), config-default 2048-point budget. The val
+        # re-fit budget is matched separately via --refit-epochs (our rows used
+        # test.refit_epochs=50; the reference's validate_epoch would otherwise
+        # re-fit for its full nef budget, nonmaml_pde_trainer.py:446-447).
+        num_signals_train=128, num_signals_test=32, batch_size=8,
+        max_num_sampled_points=2048,
+        num_epochs=300, nef_until=200, ode_from=200,
+        test_interval=300, test_dp_interval=300, log_every_n_steps=800,
+    ),
     "diff_plane": dict(
         # Mirror of this repo's diffusion_plane rows (run_experiments_r2.sh:44).
         num_signals_train=64, num_signals_test=16, batch_size=8,
@@ -171,6 +183,7 @@ BUDGETS = {
 CACHE_DIR = {
     "cahn_hilliard": "cahn_hilliard",
     "navier_stokes": "navier_stokes",
+    "navier_stokes_nonmaml": "navier_stokes",
     "diff_sphere": "diff_sphere",
     "ihc": "ihc_convection",
     "shallow_water": "shallow_water",  # cache stores 192x96; low-res pooled at load
@@ -234,7 +247,7 @@ def _load_cached(dataset: str, group: str, count: int) -> np.ndarray:
 def _coords_for(dataset: str, image_shape) -> "jnp.ndarray":
     import jax.numpy as jnp
 
-    if dataset in ("cahn_hilliard", "navier_stokes", "diff_plane"):
+    if dataset in ("cahn_hilliard", "navier_stokes", "navier_stokes_nonmaml", "diff_plane"):
         # Verbatim grid construction from the reference entry points
         # (fit_cahn_hilliard.py:31-33, fit_navier_stokes.py:32-34,
         # fit_diff_plane.py:32-33).
@@ -288,6 +301,14 @@ def main():
         "--no-jit-val",
         action="store_true",
         help="leave val_step eager, exactly as the reference ships it",
+    )
+    ap.add_argument(
+        "--refit-epochs", type=int, default=50,
+        help="nonmaml only: val-autodecoder re-fit epochs per dropout rate. The "
+        "reference re-fits for its nef budget (nonmaml_pde_trainer.py:446-447), "
+        "which at this repo's reduced budget would be 200; this repo's rows used "
+        "test.refit_epochs=50 — default matches them 1:1. Pass -1 for the "
+        "reference's unmodified proportional behavior.",
     )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -373,7 +394,20 @@ def main():
     val_loader = ListLoader(test, cfg.dataset.batch_size, shuffle=False, seed=args.seed)
 
     from experiments.fitting import get_model_pde
-    from experiments.fitting.trainers.pde_trainer import MetaSGDPDETrainer
+
+    nonmaml = args.dataset.endswith("nonmaml")
+    if nonmaml:
+        from experiments.fitting.trainers.nonmaml_pde_trainer import (
+            NonMetaPDETrainer as MetaSGDPDETrainer,
+        )
+
+        # The nonmaml config leaves the ode phase open to its full 2000-epoch
+        # protocol; close both phase windows at the budget (train_epoch checks
+        # from/until on each, nonmaml_pde_trainer.py:367-375).
+        cfg.training.nef.train_from_epoch = 0
+        cfg.training.ode.train_until_epoch = budget["num_epochs"]
+    else:
+        from experiments.fitting.trainers.pde_trainer import MetaSGDPDETrainer
 
     nef, ode_model = get_model_pde(cfg)
     trainer = MetaSGDPDETrainer(
@@ -396,9 +430,33 @@ def main():
         # path; disable it rather than patch reference behavior.
         trainer.visualize_batch = lambda *a, **k: None
 
-    if not args.no_jit_val:
+    if nonmaml:
+        # Metrics never touch the viz path; skip its eager full-batch decodes
+        # (8 calls per validate_epoch — pure chip time).
+        trainer.visualize_batch = lambda *a, **k: None
+        if args.refit_epochs >= 0:
+            # Match this repo's val re-fit budget 1:1: the reference re-fits the
+            # val autodecoder for `nef.train_until_epoch` epochs per dropout rate
+            # (total_val_epochs, nonmaml_pde_trainer.py:446-447; the loop is
+            # range(1, n), hence +1). Pinned only for the duration of
+            # validate_epoch so the training phase switch is untouched.
+            _orig_validate = trainer.validate_epoch
+
+            def _validate(state):
+                tve = cfg.training.nef.train_until_epoch
+                cfg.training.nef.train_until_epoch = args.refit_epochs + 1
+                try:
+                    return _orig_validate(state)
+                finally:
+                    cfg.training.nef.train_until_epoch = tve
+
+            trainer.validate_epoch = _validate
+
+    if not args.no_jit_val and not nonmaml:
         # Re-enable the reference's own commented-out jit lines
         # (pde_trainer.py:544-548) — eager val over the TPU tunnel is unusable.
+        # (The nonmaml trainer's _val_step ships with its jit decorator intact,
+        # nonmaml_pde_trainer.py:201; nothing to re-enable there.)
         trainer.val_step = jax.jit(trainer._val_step)
         trainer.val_step_dp5 = jax.jit(lambda s, b: trainer._val_step(s, b, initial_state_dp=0.05))
         trainer.val_step_dp10 = jax.jit(lambda s, b: trainer._val_step(s, b, initial_state_dp=0.1))
@@ -415,6 +473,19 @@ def main():
     wall = time.time() - t0
 
     final = {k: float(v) for k, v in trainer.metrics.items()}
+    if nonmaml:
+        # The nonmaml validate_epoch reports its val metrics through wandb.log
+        # only (nonmaml_pde_trainer.py:538-541) — merge every val record so the
+        # final dict carries the last-logged value per key (dp suite included).
+        for rec in WANDB_LOG:
+            if any(k.startswith(("val_mse", "train_mse_in", "train_mse_out")) for k in rec):
+                final.update(
+                    {
+                        k: float(v)
+                        for k, v in rec.items()
+                        if isinstance(v, (int, float)) and not k.startswith("_")
+                    }
+                )
 
     if args.dataset == "shallow_water":
         # Zero-shot super-resolution: validate the trained low-res state on the
@@ -451,6 +522,7 @@ def main():
         "budget": budget,
         "backend": jax.default_backend(),
         "jit_val": not args.no_jit_val,
+        "refit_epochs": (args.refit_epochs if nonmaml else None),
         "wall_s": round(wall, 1),
         "final_metrics": final,
     }
