@@ -168,7 +168,11 @@ BUDGETS = {
         num_signals_train=128, num_signals_test=32, batch_size=8,
         max_num_sampled_points=2048,
         num_epochs=300, nef_until=200, ode_from=200,
-        test_interval=300, test_dp_interval=300, log_every_n_steps=800,
+        # test_dp_interval must never fire for nonmaml (the reference ships 9999):
+        # the BASE trainer's validate_epoch_dp expects meta-style val_step_dp5
+        # attrs (_base_pde_trainer.py:383) the nonmaml trainer never defines —
+        # its dp suite lives inside its own validate_epoch instead.
+        test_interval=300, test_dp_interval=999_999_999, log_every_n_steps=800,
     ),
     "diff_plane": dict(
         # Mirror of this repo's diffusion_plane rows (run_experiments_r2.sh:44).
@@ -331,7 +335,9 @@ def main():
         budget["ode_from"] = budget["nef_until"]
         budget["num_epochs"] = args.epochs
         budget["test_interval"] = min(budget["test_interval"], args.epochs)
-        budget["test_dp_interval"] = min(budget["test_dp_interval"], args.epochs)
+        if not args.dataset.endswith("nonmaml"):
+            # nonmaml's dp interval must stay un-fireable (see its BUDGETS note).
+            budget["test_dp_interval"] = min(budget["test_dp_interval"], args.epochs)
     if args.signals is not None:
         budget["num_signals_train"] = args.signals
         # At least one full val batch: the reference's validate_epoch crashes on an
