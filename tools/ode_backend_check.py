@@ -42,11 +42,13 @@ def _run_steps(step, state, traj, k):
 
 
 def _time_step(step, state, traj, reps=10):
-    loss, _ = step(state, traj)
+    # The step donates its input state: re-thread it every call, or the second
+    # call reads deleted buffers (a hard TPU backend error; CPU tolerates it).
+    loss, state = step(state, traj)
     float(loss)  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(reps):
-        loss, _ = step(state, traj)
+        loss, state = step(state, traj)
         float(loss)
     return (time.perf_counter() - t0) / reps
 
