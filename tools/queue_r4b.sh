@@ -51,7 +51,9 @@ run diff_sphere diff_sphere $SPHERE_ARGS \
 
 run diff_sphere_abspos diff_sphere nef.invariant_type=abs_pos $SPHERE_ARGS
 
-run shallow_water shallow_water logging.checkpoint=false \
+# nef.ode_backend=xla pins the round-3 training numerics: this run restores raw
+# evidence for an aggregate recorded before the pallas ode-backend default landed.
+run shallow_water shallow_water logging.checkpoint=false nef.ode_backend=xla \
   dataset.num_signals_train=32 dataset.num_signals_test=8 \
   training.num_epochs=250 training.nef.train_until_epoch=150 training.ode.train_from_epoch=150 \
   test.test_interval=250 test.test_dp_interval=250 logging.visualize_every_n_epochs=250 \
