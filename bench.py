@@ -120,7 +120,11 @@ def bench_train_step(backend: str = "xla", ode_backend: str = None):
     Matches the shape of the round-1 prose measurement: batch 4, 512 sampled points,
     3 inner steps, 10-frame rollout. ``ode_backend='pallas'`` routes the
     rollout decode through the fused kernel (``nef.ode_backend``), the
-    production opt-in for the first-order ode/dual-phase decode.
+    production default for the first-order ode/dual-phase decode. The ode
+    backend is always pinned explicitly — the NS config now ships
+    ``ode_backend: pallas``, and letting that default leak in would make the
+    ``train_step_s`` baseline silently measure the pallas path too, breaking
+    cross-round comparability.
     """
     from enf_pde_tpu.builders import build_models
     from enf_pde_tpu.config import load_experiment_config
@@ -133,8 +137,8 @@ def bench_train_step(backend: str = "xla", ode_backend: str = None):
             "dataset.batch_size=4",
             "training.max_num_sampled_points=512",
             f"nef.backend={backend}",
-        ]
-        + ([f"nef.ode_backend={ode_backend}"] if ode_backend else []),
+            f"nef.ode_backend={ode_backend or backend}",
+        ],
     )
     cfg.nef.num_in = 2
     cfg.nef.num_out = 1
