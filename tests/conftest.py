@@ -24,7 +24,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # a fraction of the cold time. The cache is repo-local and gitignored.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 
 

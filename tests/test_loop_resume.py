@@ -62,6 +62,8 @@ def test_loop_runs_and_resumes(tmp_path):
     assert saved["training"]["num_epochs"] == cfg2.training.num_epochs
 
 
+@pytest.mark.slow  # figure plumbing stays fast-covered by test_visualization_smoke;
+# this additionally drives the trainer's full visualize_epoch (rollout + decode)
 def test_visualize_epoch_writes_figure(tmp_path):
     import os
 

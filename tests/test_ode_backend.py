@@ -70,6 +70,8 @@ def test_ode_step_parity(traj):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow  # ode_step_parity keeps this path's fast coverage; the dual step
+# additionally has on-TPU parity evidence (results/r4/ode_backend_check_*.json)
 def test_dual_step_parity(traj):
     base = _make_trainer()
     fused = _make_trainer(**{"nef.ode_backend": "pallas_interpret"})
@@ -82,6 +84,8 @@ def test_dual_step_parity(traj):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow  # the Mosaic-failure degrade path stays fast-covered by
+# tests/test_eval_fallback.py; this adds the ode-decoder-specific clone check
 def test_fallback_degrades_ode_decoder(traj):
     trainer = _make_trainer(**{"nef.ode_backend": "pallas_interpret"})
     trainer.fallback_to_xla_eval()

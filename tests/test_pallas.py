@@ -87,6 +87,8 @@ def test_kernel_parity_three_heads_ball():
     _check_parity(BallInvariant(), x, p, num_heads=3)
 
 
+@pytest.mark.slow  # regression pin for the z=25 scoped-vmem tile cap; 646 coords
+# through interpret mode is the fast suite's single most expensive kernel case
 def test_kernel_parity_large_latent_count_tile_cap():
     """z=25 (the ihc configs) triggers the scoped-vmem coordinate-tile cap.
 

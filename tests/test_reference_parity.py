@@ -161,6 +161,8 @@ def test_decoder_parity_ponita():
     _compare(ref_model, my_model, x, p, a, w)
 
 
+@pytest.mark.slow  # the bit-parity contract stays fast-covered by the
+# rel_pos_periodic decoder parity test; this adds the S^2 no-window variant
 def test_decoder_parity_polar_periodic_no_window():
     from enf.steerable_attention.invariant.polar_periodic import RelativePositionPolarPeriodic as RefPolar
 

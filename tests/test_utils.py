@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from enf_pde_tpu.geometry import PonitaPos2D, Ponita2D
 from enf_pde_tpu.geometry.invariants import (
@@ -38,6 +39,8 @@ def _make_decoder(invariant, use_gaussian_window=True):
     )
 
 
+@pytest.mark.slow  # the checker stays fast-covered by test_equivariance_checker_ball;
+# the planar (2d) variant also runs on hardware in every planar training run
 def test_equivariance_checker_flags_correctly():
     dec = EnfDecoder(
         num_hidden=16,
@@ -76,6 +79,8 @@ def _sphere_coords(key, b, n):
     return jnp.stack([phi, theta], axis=-1)
 
 
+@pytest.mark.slow  # the checker machinery stays fast-covered by the planar and
+# ball variants; this adds the two S^2 invariants (two decoders, many programs)
 def test_equivariance_checker_sphere():
     for inv, expect_rotation in (
         (RelativePositionPolarPeriodic(), True),
