@@ -1,4 +1,6 @@
 #!/bin/bash
+# SUPERSEDED by tools/queue_r4b.sh -> tools/queue_r4c.sh — do not launch.
+echo "superseded by tools/queue_r4c.sh" >&2; exit 1
 # Round-4 chip queue (single v5e; jobs strictly sequential).
 #
 # Ordered by VERDICT r3 "Next round":
