@@ -90,7 +90,11 @@ run ihc_full ihc \
 
 # ---- 2c. ihc_full, reference side (config_ihc.yaml:70-79 epochs/phases at the
 #          same 64/16 set; ~4.5-6 h contiguous, no resume — 6 h timeout).
-ref_run ihc_full ihc 0 21600 --epochs 2500 --nef-until 500
+#          --test-interval 250: the family default 150 does not divide 2500, so
+#          the reference's `epoch % interval == 0` final val would never fire;
+#          dp suite end-only, matching our ihc_full's test_dp_interval=2500.
+ref_run ihc_full ihc 0 21600 --epochs 2500 --nef-until 500 \
+  --test-interval 250 --test-dp-interval 2500
 
 # ---- 6. diff_sphere at the FULL reference protocol (750 epochs, nef 0-150,
 #         config_diff_sphere.yaml:69-78), 3 seeds BOTH sides, same 64/16 set.

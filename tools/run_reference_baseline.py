@@ -302,6 +302,18 @@ def main():
                     help="explicit nef->ode phase switch epoch (default: scale proportionally)")
     ap.add_argument("--test-signals", type=int, default=None, help="override test signals")
     ap.add_argument(
+        "--test-interval", type=int, default=None,
+        help="override val interval. The reference only validates when "
+        "`epoch %% test_interval == 0` (_base_pde_trainer.py:265), so for an "
+        "--epochs override that the family's default interval does not divide "
+        "(e.g. ihc 2500 %% 150), pass a divisor or the final-epoch val never fires.",
+    )
+    ap.add_argument(
+        "--test-dp-interval", type=int, default=None,
+        help="override dropout-val interval (same %% caveat; ignored for nonmaml, "
+        "whose dp interval must stay un-fireable — see its BUDGETS note)",
+    )
+    ap.add_argument(
         "--no-jit-val",
         action="store_true",
         help="leave val_step eager, exactly as the reference ships it",
@@ -349,6 +361,10 @@ def main():
         budget["ode_from"] = args.nef_until
     if args.test_signals is not None:
         budget["num_signals_test"] = args.test_signals
+    if args.test_interval is not None:
+        budget["test_interval"] = args.test_interval
+    if args.test_dp_interval is not None and not args.dataset.endswith("nonmaml"):
+        budget["test_dp_interval"] = args.test_dp_interval
 
     with open(os.path.join(REF, "experiments/fitting", f"config_{args.dataset}.yaml")) as f:
         raw = yaml.safe_load(f)
