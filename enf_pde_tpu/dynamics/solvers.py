@@ -50,6 +50,7 @@ def solve_latent_ode(
     method: str = "euler",
     stop_gradient: bool = False,
     remat: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Roll a latent set ``(p, a, window)`` forward with a fixed-step integrator.
 
@@ -60,6 +61,9 @@ def solve_latent_ode(
         method: 'euler' | 'rk4'.
         stop_gradient: cut BPTT between steps (per-step gradients only).
         remat: rematerialize each step in the backward pass (memory-bounded BPTT).
+        unroll: scan unroll factor. Latent states are tiny (a few KB), so for
+            short horizons unrolling trades nothing for cross-step fusion of the
+            small PONITA kernels; keep 1 for long-horizon memory-bound BPTT.
 
     Returns:
         ``(p, a, window)`` trajectories with shape [batch, num_steps + 1, ...].
@@ -80,7 +84,7 @@ def solve_latent_ode(
         step = jax.checkpoint(step)
 
     ts = t0 + h * jnp.arange(num_steps)
-    _, traj = jax.lax.scan(step, latents, ts)
+    _, traj = jax.lax.scan(step, latents, ts, unroll=unroll)
     # Prepend the initial state and put batch in front: [time, b, ...] -> [b, time, ...].
     full = jax.tree.map(
         lambda x0, tr: jnp.concatenate([x0[None], tr], axis=0), latents, traj

@@ -32,6 +32,14 @@ class InnerLoopConfig(NamedTuple):
     max_num_sampled_points: int
     optimize_gaussian_window: bool
     noise_pos_inner_loop: float
+    # Fully unroll the K-step scan (K is 3-4 in every config). At the small
+    # per-step shapes of the inner loop (e.g. shallow water: batch 1, 8 latents,
+    # hid 128) the step is latency-bound, not FLOP-bound, and unrolling lets XLA
+    # fuse across iterations instead of re-entering a loop of tiny kernels —
+    # in both the forward scan and the second-order backward. Compile time and
+    # peak memory are unchanged at K<=4 (the differentiated scan already stores
+    # every iteration's residuals). `meta.inner_unroll=false` restores the scan.
+    unroll: bool = True
 
 
 def sample_coordinate_masks(rng, num_coords: int, num_masks: int, num_sampled: int) -> jnp.ndarray:
@@ -115,7 +123,9 @@ def make_inner_loop(
             }
             return updated, ()
 
-        latents, _ = jax.lax.scan(sgd_step, latents, masks[: cfg.num_inner_steps])
+        latents, _ = jax.lax.scan(
+            sgd_step, latents, masks[: cfg.num_inner_steps], unroll=bool(cfg.unroll)
+        )
         query_loss = recon_loss(latents, masks[cfg.num_inner_steps])
         return query_loss, latents
 

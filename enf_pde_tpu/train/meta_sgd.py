@@ -83,6 +83,7 @@ class MetaSGDTrainer:
             max_num_sampled_points=cfg.training.max_num_sampled_points,
             optimize_gaussian_window=cfg.nef.optimize_gaussian_window,
             noise_pos_inner_loop=cfg.meta.noise_pos_inner_loop,
+            unroll=bool(cfg.meta.get("inner_unroll", True)),
         )
         self.inner_loop = make_inner_loop(decoder.apply, self.coords, self.inner_cfg)
 
@@ -167,6 +168,7 @@ class MetaSGDTrainer:
             tf=(num_frames - 1) * self.cfg.node.dt,
             h=self.cfg.node.dt,
             method=self.cfg.node.method,
+            unroll=int(self.cfg.node.get("ode_unroll", 1)),
         )
 
     def _nef_loss(self, params, trajectory, rng):

@@ -151,6 +151,22 @@ def test_solve_latent_ode_matches_unrolled_reference():
         np.testing.assert_allclose(np.asarray(as_[:, t]), np.asarray(expected[t][1]), rtol=2e-5, atol=1e-6)
 
 
+def test_solve_latent_ode_unroll_parity():
+    """`node.ode_unroll` is a pure scheduling knob: unrolled scan matches unroll=1,
+    including when the unroll factor does not divide the step count."""
+
+    def f(latents, t):
+        p, a, w = latents
+        return jnp.sin(a[..., :2]) * 0.1, -0.2 * a + p.sum(-1, keepdims=True), jnp.zeros_like(w)
+
+    lat = _latents()
+    base = solve_latent_ode(f, lat, t0=0, tf=5, h=1.0, method="rk4")
+    for u in (2, 4):
+        got = solve_latent_ode(f, lat, t0=0, tf=5, h=1.0, method="rk4", unroll=u)
+        for b, g in zip(base, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_solve_latent_ode_grad_flow_and_stopgrad():
     def f(latents, t):
         p, a, w = latents

@@ -212,3 +212,36 @@ def test_second_order_grads_through_inner_loop(setup):
     # And the loss must be differentiable w.r.t. the learned inner LRs.
     g_lrs = jax.grad(lambda l: outer_loss(state.params["nef"], l))(lrs)
     assert float(jnp.abs(g_lrs["a"]).sum()) > 0
+
+
+def test_inner_loop_unroll_parity(setup):
+    """`meta.inner_unroll` is a pure scheduling knob: the unrolled inner loop must
+    match the scanned one bitwise in loss, fitted latents, and second-order grads."""
+    _, trainer, state, traj = setup
+    from enf_pde_tpu.train.inner_loop import make_inner_loop
+
+    frames = traj[:, 0]
+    rng = jax.random.PRNGKey(11)
+    loops = {
+        u: make_inner_loop(
+            trainer.decoder.apply, trainer.coords, trainer.inner_cfg._replace(unroll=u)
+        )
+        for u in (False, True)
+    }
+
+    out = {}
+    for u, loop in loops.items():
+        def outer(nef_params, lrs):
+            loss, lat = loop(nef_params, lrs, state.params["autodecoder"], frames, rng)
+            return loss, lat
+
+        (loss, lat), grads = jax.value_and_grad(outer, has_aux=True)(
+            state.params["nef"], state.params["meta_sgd_lrs"]
+        )
+        out[u] = (float(loss), lat, grads)
+
+    assert out[True][0] == pytest.approx(out[False][0], rel=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out[True][1]), jax.tree_util.tree_leaves(out[False][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(out[True][2]), jax.tree_util.tree_leaves(out[False][2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
