@@ -72,6 +72,14 @@ def run_experiment(cfg: Config):
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     shard = (lambda b: shard_batch(b, mesh)) if mesh is not None else None
 
+    # Single-device: keep the (static) trajectory set resident on the accelerator
+    # so epochs re-transfer nothing over the remote-dispatch tunnel. Multi-device
+    # keeps the host path — batches are sharded across the mesh by shard_batch.
+    if mesh is None and cfg.get_path("dataset.device_cache", True):
+        for ldr in (train_loader, test_loader):
+            if hasattr(ldr, "enable_device_cache"):
+                ldr.enable_device_cache()
+
     if cfg.get_path("meta.meta_sgd", True):
         trainer = MetaSGDTrainer(cfg, decoder, ode_model, coords, seed=cfg.seed)
         loop = TrainLoop(trainer, train_loader, test_loader, logger, ckpt, shard_batch=shard)

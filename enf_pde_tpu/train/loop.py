@@ -43,6 +43,8 @@ class TrainLoop:
 
     def _batch_traj(self, batch):
         traj = batch[0] if isinstance(batch, (tuple, list)) else batch
+        if isinstance(traj, jax.Array):
+            return traj  # device-cached batch (loader.enable_device_cache)
         return self.shard_batch(np.asarray(traj))
 
     def train_epoch(self, state: TrainState, epoch: int) -> TrainState:
