@@ -97,7 +97,13 @@ def _super_resolution_eval(cfg, state, decoder, ode_model, logger):
     hi_cfg = cfg.copy()
     hi_cfg.dataset.name = "shallow_water"
     hi_train, hi_test = get_dataloader(hi_cfg.dataset)
-    hi_trainer = MetaSGDTrainer(hi_cfg, decoder, ode_model, hi_train.coords, seed=cfg.seed)
+    # Full-res decode is coordinate-dominated (the batch alone can't fill a mesh):
+    # shard the coordinate axis across all devices (reference analogue:
+    # fit_shallow_water.py:63-90 evaluates single-device).
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    hi_trainer = MetaSGDTrainer(
+        hi_cfg, decoder, ode_model, hi_train.coords, seed=cfg.seed, coord_mesh=mesh
+    )
     mse_in, mse_out, n = 0.0, 0.0, 0
     for batch in hi_test:
         try:

@@ -34,16 +34,41 @@ class Forecaster:
         hi_res = fc.forecast(frame0, num_frames=60, coords=hi_grid) # super-resolution
     """
 
-    def __init__(self, cfg: Config, state, coords: np.ndarray, backend: Optional[str] = None):
+    def __init__(self, cfg: Config, state, coords: np.ndarray, backend: Optional[str] = None,
+                 coord_mesh="auto"):
         if backend is not None:
             cfg = cfg.copy()
             cfg.nef.backend = "xla"  # training/inner-loop path needs autodiff
             cfg.nef.eval_backend = backend
         decoder, ode_model = build_models(cfg)
-        self.trainer = MetaSGDTrainer(cfg, decoder, ode_model, coords, seed=cfg.get_path("seed", 0))
+        # Multi-device: shard the coordinate axis of full-grid decodes over the mesh
+        # (coordinate tiles are independent — softmax is over latents). "auto" uses
+        # all devices; pass None to force the single-device chunked path.
+        if coord_mesh == "auto":
+            from enf_pde_tpu.parallel import make_mesh
+
+            coord_mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.trainer = MetaSGDTrainer(
+            cfg, decoder, ode_model, coords, seed=cfg.get_path("seed", 0),
+            coord_mesh=coord_mesh,
+        )
         self.cfg = cfg
         self.state = state
         self._rng = jax.random.PRNGKey(cfg.get_path("seed", 0))
+        self._sharded_decode = None
+        if coord_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = coord_mesh.axis_names[0]
+            xspec = NamedSharding(coord_mesh, PartitionSpec(None, axis, None))
+            apply_fn = self.trainer.eval_decoder.apply
+
+            @jax.jit
+            def _decode(params, xs, p, a, w):
+                xs = jax.lax.with_sharding_constraint(xs, xspec)
+                return apply_fn(params, xs, p, a, w)
+
+            self._sharded_decode = _decode
 
     @classmethod
     def from_checkpoint(
@@ -98,10 +123,13 @@ class Forecaster:
         b, t = p.shape[0], p.shape[1]
         p_fl, a_fl, w_fl = jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), (p, a, w))
         xs = jnp.broadcast_to(coords[None], (b * t, *coords.shape))
-        out = decode_chunked(
-            self.trainer.eval_decoder.apply, self.state.params["nef"], xs, p_fl, a_fl, w_fl,
-            chunk_size=chunk,
-        )
+        if self._sharded_decode is not None:
+            out = self._sharded_decode(self.state.params["nef"], xs, p_fl, a_fl, w_fl)
+        else:
+            out = decode_chunked(
+                self.trainer.eval_decoder.apply, self.state.params["nef"], xs, p_fl, a_fl, w_fl,
+                chunk_size=chunk,
+            )
         return out.reshape(b, t, coords.shape[0], -1)
 
     def forecast(

@@ -65,8 +65,17 @@ def resolve_ode_backend(cfg, decoder) -> str:
 class MetaSGDTrainer:
     """Builds and owns the jitted train/val step functions for one experiment."""
 
-    def __init__(self, cfg, decoder, ode_model, coords: jnp.ndarray, seed: int = 0):
+    def __init__(self, cfg, decoder, ode_model, coords: jnp.ndarray, seed: int = 0,
+                 coord_mesh=None):
+        """``coord_mesh``: optional ``jax.sharding.Mesh`` — when set, validation
+        full-grid decodes shard the *coordinate* axis across it instead of chunking
+        (softmax is over latents, so coordinate tiles are embarrassingly parallel;
+        see parallel/mesh.py::sharded_decode). Use for replicated-batch evals with
+        large grids (super-resolution, inference) where the batch axis alone cannot
+        fill the mesh. Must be set before the first ``val_step`` call — the branch
+        is baked in at trace time."""
         self.cfg = cfg
+        self.coord_mesh = coord_mesh
         self.decoder = decoder
         self.ode_model = ode_model
         self.coords = jnp.asarray(coords)
@@ -333,15 +342,28 @@ class MetaSGDTrainer:
         coords = jnp.broadcast_to(
             self.coords[None], (p_fl.shape[0], *self.coords.shape)
         )
-        recon = decode_chunked(
-            self.eval_decoder.apply,
-            state.params["nef"],
-            coords,
-            p_fl,
-            a_fl,
-            w_fl,
-            chunk_size=cfg.training.max_num_sampled_points,
-        )
+        if self.coord_mesh is not None:
+            # Coordinate-sharded whole-grid decode: each device decodes its
+            # coordinate shard independently (no cross-device reduction — softmax
+            # is over latents); per-device memory is bounded by the shard, which
+            # is what chunking bounds on one device.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = self.coord_mesh.axis_names[0]
+            coords = jax.lax.with_sharding_constraint(
+                coords, NamedSharding(self.coord_mesh, PartitionSpec(None, axis, None))
+            )
+            recon = self.eval_decoder.apply(state.params["nef"], coords, p_fl, a_fl, w_fl)
+        else:
+            recon = decode_chunked(
+                self.eval_decoder.apply,
+                state.params["nef"],
+                coords,
+                p_fl,
+                a_fl,
+                w_fl,
+                chunk_size=cfg.training.max_num_sampled_points,
+            )
         recon = recon.reshape(trajectory.shape)
         mse_in = jnp.mean((recon[:, :T_in] - trajectory[:, :T_in]) ** 2)
         if T_total > T_in:

@@ -42,3 +42,25 @@ def test_sparse_observation_fit(forecaster):
     frames = frames / (np.abs(frames).max() + 1e-8)
     out = forecaster.forecast(frames, num_frames=2, dp=0.5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_decode_matches_chunked():
+    """Multi-device Forecaster decode (coordinate-sharded) == single-device chunked."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = tiny_cfg()
+    coords = planar_coords(SIZE, SIZE)
+    fc_mesh = Forecaster(cfg, state=None, coords=coords)  # coord_mesh="auto"
+    fc_mesh.state = fc_mesh.trainer.init_state()
+    assert fc_mesh._sharded_decode is not None
+    fc_single = Forecaster(cfg, state=None, coords=coords, coord_mesh=None)
+    fc_single.state = fc_single.trainer.init_state()
+    assert fc_single._sharded_decode is None
+
+    frames = generate_diffusion_trajectories(np.arange(2), size=SIZE)[:, 0]
+    frames = frames / (np.abs(frames).max() + 1e-8)
+    fitted = fc_single.fit(frames)
+    traj = fc_single.rollout(fitted, num_frames=3)
+    out_single = fc_single.decode(traj)
+    out_mesh = fc_mesh.decode(traj)
+    np.testing.assert_allclose(np.asarray(out_mesh), np.asarray(out_single), atol=1e-6)

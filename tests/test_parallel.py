@@ -124,3 +124,16 @@ def test_2d_mesh_data_by_coord_decode(setup):
 
     out = decode(state.params["nef"], coords, p, a, w)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_val_step_coord_mesh_matches_chunked(setup):
+    """val_step with a coordinate mesh (super-res eval path) == chunked single-device."""
+    cfg, trainer, state, traj = setup
+    decoder, ode_model = build_models(cfg)
+    mesh_trainer = MetaSGDTrainer(
+        cfg, decoder, ode_model, planar_coords(SIZE, SIZE), seed=0, coord_mesh=make_mesh()
+    )
+    a0, b0 = trainer.val_step(state, traj, 0)
+    a1, b1 = mesh_trainer.val_step(state, traj, 0)
+    np.testing.assert_allclose(float(a1), float(a0), rtol=1e-5)
+    np.testing.assert_allclose(float(b1), float(b0), rtol=1e-5)
