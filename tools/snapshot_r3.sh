@@ -11,7 +11,11 @@ for d in outputs/r3/*_s*; do
   # round-2 row for the same tag/seed in the harvest merge.
   [ -f $d/metrics.jsonl ] && [ -f $d/DONE ] || continue
   mkdir -p results/r3/$tag
-  tail -60 $d/metrics.jsonl > results/r3/$tag/metrics_tail.jsonl
+  # Keep sparse mid-run metrics (equivariance fires once at test_equiv_at_epoch,
+  # superres once at the end) in the snapshot — a plain tail loses them and the
+  # harvest row then changes across regenerations (VERDICT r4 weak/next #8).
+  { grep -h '"equivariance_err_\|"superres_mse_' $d/metrics.jsonl; tail -60 $d/metrics.jsonl; } \
+    | awk '!seen[$0]++' > results/r3/$tag/metrics_tail.jsonl
   touch results/r3/$tag/DONE
   fig=$(ls $d/figures/*.png 2>/dev/null | tail -1)
   [ -n "$fig" ] && cp -n $fig results/r3/$tag/ 2>/dev/null
