@@ -308,6 +308,24 @@ class TrainLoop:
         )
         viz_every = self.cfg.get_path("logging.visualize_every_n_epochs", 0)
         for epoch in range(start_epoch, num_epochs + 1):
+            if hasattr(self.trainer, "phase_active") and not self.trainer.phase_active(
+                epoch
+            ):
+                # Schedule exhausted: the reference raises here mid-run
+                # (_base_pde_trainer.py:290-298), so any epochs it configures past
+                # the last phase window (config_ihc.yaml: num_epochs=2500 vs
+                # ode.train_until_epoch=2000) are unreachable. Stop cleanly after
+                # the last covered epoch instead of dying at it.
+                print(
+                    f"[loop] no training phase covers epoch {epoch} "
+                    f"(num_epochs={num_epochs}); schedule exhausted — stopping."
+                )
+                self.logger.log(
+                    {"schedule_exhausted_at_epoch": epoch}, step=self.global_step
+                )
+                if epoch > start_epoch and (epoch - 1) % self.cfg.test.test_interval:
+                    self._eval_guarded(self.validate_epoch, state, epoch - 1)
+                break
             try:
                 state = self.train_epoch(state, epoch)
             except Exception as e:

@@ -417,11 +417,28 @@ class MetaSGDTrainer:
         jax.clear_caches()
         self._build_steps()
 
-    def select_train_step(self, epoch: int) -> Tuple[Callable, bool, bool]:
-        """Phase scheduling by epoch ranges (reference ``_base_pde_trainer.py:281-299``)."""
+    def phase_window(self, epoch: int) -> Tuple[bool, bool]:
+        """(train_nef, train_ode) flags for this epoch (ref ``_base_pde_trainer.py:279-288``)."""
         t = self.cfg.training
         train_nef = t.nef.train_from_epoch < epoch <= t.nef.train_until_epoch
         train_ode = t.ode.train_from_epoch < epoch <= t.ode.train_until_epoch
+        return train_nef, train_ode
+
+    def phase_active(self, epoch: int) -> bool:
+        """Whether any training phase covers this epoch.
+
+        The reference raises mid-run when its schedule has a hole
+        (``_base_pde_trainer.py:290-298`` → ``ValueError("No training step set")``),
+        which makes config epochs past the last phase window unreachable dead
+        config — e.g. ``config_ihc.yaml`` asks for 2500 epochs but its ode phase
+        ends at 2000, so the reference can only ever execute 2000 IHC epochs.
+        ``TrainLoop.run`` uses this hook to stop cleanly instead.
+        """
+        return any(self.phase_window(epoch))
+
+    def select_train_step(self, epoch: int) -> Tuple[Callable, bool, bool]:
+        """Phase scheduling by epoch ranges (reference ``_base_pde_trainer.py:281-299``)."""
+        train_nef, train_ode = self.phase_window(epoch)
         if train_nef and train_ode:
             return self.dual_train_step, train_nef, train_ode
         if train_nef:

@@ -179,6 +179,38 @@ def test_phase_scheduling(setup):
     assert nef and not ode and step is trainer.nef_train_step
     step, nef, ode = trainer.select_train_step(2)
     assert ode and not nef and step is trainer.ode_train_step
+    # Past the last phase window (ode until 100): the reference raises mid-run
+    # (_base_pde_trainer.py:290-298), making configured epochs past the schedule
+    # unreachable (config_ihc.yaml: 2500 epochs vs ode until 2000). We expose the
+    # hole via phase_active so TrainLoop stops cleanly instead.
+    assert trainer.phase_active(100) and not trainer.phase_active(101)
+    with pytest.raises(ValueError, match="No training phase"):
+        trainer.select_train_step(101)
+
+
+def test_loop_stops_cleanly_when_schedule_exhausted(setup, tmp_path):
+    """num_epochs past the last phase window must end the run, not crash it.
+
+    Regression: the 2500-epoch ihc_full run died at epoch 2001 with
+    'No training phase active' after 2.5 h (ode window ends at 2000, mirroring
+    the reference's own dead config_ihc.yaml tail).
+    """
+    cfg, trainer, state, traj = setup
+    from enf_pde_tpu.train.logging import MetricLogger
+    from enf_pde_tpu.train.loop import TrainLoop
+
+    cfg.training.ode.train_until_epoch = 2  # schedule covers epochs 1-2 only
+    cfg.test.test_interval = 2
+    cfg.test.test_dp_interval = 10**9
+    cfg.test.test_equiv_at_epoch = 10**9
+    cfg.logging = {"log_every_n_steps": 100}  # fixture cfg has no logging section
+    loader = [(traj, np.arange(traj.shape[0]))]
+    logger = MetricLogger(str(tmp_path))
+    loop = TrainLoop(trainer, loader, loader, logger=logger, checkpoints=None)
+    out = loop.run(5, state=_copy(state))  # asks for 5 epochs; 3-5 uncovered
+    assert out is not None
+    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
+    assert any("schedule_exhausted_at_epoch" in ln for ln in lines)
 
 
 @pytest.mark.slow

@@ -95,21 +95,27 @@ ref_run() {
   gitc "chip queue: reference ${tag} seed ${seed} baseline"
 }
 
-# ---- 1. ihc_full flagship, ours (2500-epoch reference protocol at the 64/16
-#         scaled ball set — config_ihc.yaml:70-79; checkpoints every 250 epochs
-#         persisted + committed for cross-session resume).
+# ---- 1. ihc_full flagship, ours (2000-epoch de-facto reference protocol:
+#         config_ihc.yaml asks for 2500 epochs but its ode phase ends at 2000 and
+#         the reference trainer raises on any uncovered epoch
+#         (_base_pde_trainer.py:290-298), so epochs 2001-2500 are unreachable dead
+#         config — the runnable protocol is nef 0-500 / ode 500-2000. dp interval
+#         mirrors the reference's un-fireable test_dp_interval: 9999.
+#         Checkpoints every 250 epochs persisted + committed for resume.)
 SEEDS="0" PERSIST=1 TMO=28800 \
 run ihc_full ihc \
   dataset.num_signals_train=64 dataset.num_signals_test=16 \
-  training.num_epochs=2500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
-  test.test_interval=250 test.test_dp_interval=2500 test.test_equiv_at_epoch=500 \
-  logging.visualize_every_n_epochs=2500 logging.log_every_n_steps=1600 \
+  training.num_epochs=2000 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
+  test.test_interval=250 test.test_dp_interval=9999 test.test_equiv_at_epoch=500 \
+  logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600 \
   logging.checkpoint=true logging.checkpoint_every_n_epochs=250 logging.resume=true
 
 # ---- 2. ihc_full, reference side (no resume; intermediate metrics every 250
 #         epochs land in the _log.jsonl even if the session ends first).
-ref_run ihc_full ihc 0 28800 --epochs 2500 --nef-until 500 \
-  --test-interval 250 --test-dp-interval 2500
+#         --epochs 2000, NOT 2500: with 2500 the reference itself dies at epoch
+#         2001 ("No training step set") after ~3.5 h and writes no output JSON.
+ref_run ihc_full ihc 0 28800 --epochs 2000 --nef-until 500 \
+  --test-interval 250 --test-dp-interval 9999
 
 # ---- 3. diff_sphere FULL protocol seed 2, both sides (completes 3x3 matrix).
 SEEDS="2" PERSIST=0 TMO=10800 \

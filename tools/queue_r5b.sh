@@ -57,13 +57,15 @@ run diff_sphere_instr diff_sphere \
   test.test_interval=150 test.test_dp_interval=750 test.test_equiv_at_epoch=150 \
   logging.visualize_every_n_epochs=750 logging.log_every_n_steps=1600
 
-# ---- (b) ihc_full ours seed 1.
+# ---- (b) ihc_full ours seed 1 (2000-epoch de-facto reference protocol — see
+#          queue_r5.sh stage 1: config_ihc.yaml's epochs 2001-2500 are unreachable
+#          dead config in the reference trainer).
 SEEDS="1" TMO=14400 \
 run ihc_full ihc \
   dataset.num_signals_train=64 dataset.num_signals_test=16 \
-  training.num_epochs=2500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
-  test.test_interval=250 test.test_dp_interval=2500 test.test_equiv_at_epoch=500 \
-  logging.visualize_every_n_epochs=2500 logging.log_every_n_steps=1600 \
+  training.num_epochs=2000 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
+  test.test_interval=250 test.test_dp_interval=9999 test.test_equiv_at_epoch=500 \
+  logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600 \
   logging.checkpoint=true logging.checkpoint_every_n_epochs=500 logging.resume=true
 
 # ---- (c) sw_full ours seed 2.
