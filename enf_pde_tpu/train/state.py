@@ -45,9 +45,17 @@ def make_optimizers(cfg) -> Optimizers:
     lr_enf = float(cfg.optimizer.learning_rate_enf)
     lr_codes = float(cfg.optimizer.learning_rate_codes)
     lr_meta = float(cfg.get_path("meta.learning_rate_meta_sgd", 1e-4))
+    # Opt-in regularizer for the latent dynamics. Default = optax.adamw's own
+    # 1e-4, i.e. exactly what the reference gets implicitly (pde_trainer.py:60-67)
+    # — parity rows are untouched. Raising it pushes the ODE toward more
+    # conservative extrapolation (the knob suggested by
+    # results/r3/diff_sphere_out_t_note.md for pure-decay datasets).
+    wd_ode = float(cfg.get_path("optimizer.weight_decay_ode", 1e-4))
     return Optimizers(
         nef=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr_enf)),
         autodecoder=optax.adam(lr_codes),
-        ode=optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(lr_enf)),
+        ode=optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(lr_enf, weight_decay=wd_ode)
+        ),
         meta_sgd=optax.adam(lr_meta),
     )

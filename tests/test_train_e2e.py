@@ -188,6 +188,39 @@ def test_phase_scheduling(setup):
         trainer.select_train_step(101)
 
 
+def test_ode_weight_decay_knob(setup):
+    """optimizer.weight_decay_ode defaults to adamw's 1e-4 (reference-implicit);
+    raising it changes only the ODE update (out_t knob, diff_sphere_out_t_note.md)."""
+    import copy as _copy_mod
+
+    from enf_pde_tpu.train.state import make_optimizers
+
+    cfg, trainer, state, _ = setup
+    params = state.params["ode"]
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def ode_update(c):
+        opts = make_optimizers(c)
+        opt_state = opts.ode.init(params)
+        upd, _ = opts.ode.update(grads, opt_state, params)
+        return upd
+
+    base = ode_update(cfg)
+    cfg_default = _copy_mod.deepcopy(cfg)
+    cfg_default.optimizer.weight_decay_ode = 1e-4
+    same = ode_update(cfg_default)
+    for a, b in zip(jax.tree_util.tree_leaves(base), jax.tree_util.tree_leaves(same)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cfg_wd = _copy_mod.deepcopy(cfg)
+    cfg_wd.optimizer.weight_decay_ode = 1e-2
+    heavy = ode_update(cfg_wd)
+    diffs = [
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+        for a, b in zip(jax.tree_util.tree_leaves(base), jax.tree_util.tree_leaves(heavy))
+    ]
+    assert max(diffs) > 0  # decay term scales with params, so updates must differ
+
+
 def test_loop_stops_cleanly_when_schedule_exhausted(setup, tmp_path):
     """num_epochs past the last phase window must end the run, not crash it.
 

@@ -68,6 +68,48 @@ run ihc_full ihc \
   logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600 \
   logging.checkpoint=true logging.checkpoint_every_n_epochs=500 logging.resume=true
 
+# ---- (b2) diff_sphere out-t knob: ODE weight decay (the knob proposed by
+#           results/r3/diff_sphere_out_t_note.md). Two cheap 150-epoch probes
+#           pick the decay strength, then one full-protocol 750-epoch run tests
+#           whether conservative dynamics close the out-t gap (ref 1.24e-5 vs
+#           ours 6.97e-5 at the full budget) without giving up the in-t win.
+for wd in 0.1 1.0; do
+  tagwd=diff_sphere_wd${wd/./} # wd01 / wd10
+  SEEDS="0" TMO=3600 \
+  run ${tagwd} diff_sphere \
+    logging.checkpoint=false dataset.num_signals_train=64 dataset.num_signals_test=16 \
+    optimizer.weight_decay_ode=${wd} \
+    training.num_epochs=150 training.nef.train_until_epoch=90 training.ode.train_from_epoch=90 \
+    test.test_interval=150 test.test_dp_interval=9999 test.test_equiv_at_epoch=9999 \
+    logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600
+done
+best_wd=$(python - <<'EOF'
+import json
+best, best_out = "0.1", float("inf")
+for wd, tag in (("0.1", "diff_sphere_wd01_s0"), ("1.0", "diff_sphere_wd10_s0")):
+    out = None
+    for root in ("outputs/r3", "results/r3"):
+        try:
+            for line in open(f"{root}/{tag}/metrics.jsonl"):
+                rec = json.loads(line)
+                if "val_mse_out_t" in rec:
+                    out = rec["val_mse_out_t"]
+        except OSError:
+            pass
+    if out is not None and out < best_out:
+        best, best_out = wd, out
+print(best)
+EOF
+)
+echo "[r5b] wd probe winner: weight_decay_ode=${best_wd}"
+SEEDS="0" TMO=7200 \
+run diff_sphere_full_wd diff_sphere \
+  logging.checkpoint=false dataset.num_signals_train=64 dataset.num_signals_test=16 \
+  optimizer.weight_decay_ode=${best_wd} \
+  training.num_epochs=750 training.nef.train_until_epoch=150 training.ode.train_from_epoch=150 \
+  test.test_interval=150 test.test_dp_interval=9999 test.test_equiv_at_epoch=9999 \
+  logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600
+
 # ---- (c) sw_full ours seed 2.
 SEEDS="2" TMO=10800 \
 run sw_full shallow_water \
