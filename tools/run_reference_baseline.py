@@ -67,6 +67,18 @@ def _wandb_log(d, commit=True):
     # JSONL dump after an otherwise-complete run — the metrics json was written).
     rec = {k: v for k, v in rec.items() if isinstance(v, (int, float, str, bool)) or v is None}
     WANDB_LOG.append(rec)
+    # Stream every record to a .partial sidecar as it happens: a run killed by
+    # timeout/watchdog/VM-restart keeps its epoch-matched val points (the final
+    # _log.jsonl below is only written if training completes).
+    if _STREAM_PATH[0]:
+        try:
+            with open(_STREAM_PATH[0], "a") as f:
+                f.write(json.dumps(rec, default=str) + "\n")
+        except OSError:
+            pass
+
+
+_STREAM_PATH = [None]
 
 
 def _install_stubs():
@@ -329,6 +341,15 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    _out_path = args.out or f"results/r3/reference_baseline_{args.dataset}_s{args.seed}.json"
+    os.makedirs(os.path.dirname(_out_path) or ".", exist_ok=True)
+    _STREAM_PATH[0] = _out_path.replace(".json", "_log.jsonl.partial")
+    # fresh attempt, fresh stream (appends within one process lifetime only)
+    try:
+        os.unlink(_STREAM_PATH[0])
+    except OSError:
+        pass
+
     _install_stubs()
 
     import jax
@@ -555,6 +576,11 @@ def main():
     with open(path.replace(".json", "_log.jsonl"), "w") as f:
         for rec in WANDB_LOG:
             f.write(json.dumps(rec, default=str) + "\n")
+    if _STREAM_PATH[0]:
+        try:
+            os.unlink(_STREAM_PATH[0])  # complete log written; drop the sidecar
+        except OSError:
+            pass
     print(json.dumps(out), flush=True)
 
 
