@@ -49,14 +49,6 @@ run() {
   gitc "chip queue r5b: snapshot ${tag} results"
 }
 
-# ---- (a) instrumented diff_sphere_full ours: 5-point out-t trajectory.
-SEEDS="2" TMO=7200 \
-run diff_sphere_instr diff_sphere \
-  logging.checkpoint=false dataset.num_signals_train=64 dataset.num_signals_test=16 \
-  training.num_epochs=750 training.nef.train_until_epoch=150 training.ode.train_from_epoch=150 \
-  test.test_interval=150 test.test_dp_interval=750 test.test_equiv_at_epoch=150 \
-  logging.visualize_every_n_epochs=750 logging.log_every_n_steps=1600
-
 # ---- (b) ihc_full ours seed 1 (2000-epoch de-facto reference protocol — see
 #          queue_r5.sh stage 1: config_ihc.yaml's epochs 2001-2500 are unreachable
 #          dead config in the reference trainer).
@@ -67,6 +59,14 @@ run ihc_full ihc \
   test.test_interval=250 test.test_dp_interval=9999 test.test_equiv_at_epoch=500 \
   logging.visualize_every_n_epochs=0 logging.log_every_n_steps=1600 \
   logging.checkpoint=true logging.checkpoint_every_n_epochs=500 logging.resume=true
+
+# ---- (a) instrumented diff_sphere_full ours: 5-point out-t trajectory.
+SEEDS="2" TMO=7200 \
+run diff_sphere_instr diff_sphere \
+  logging.checkpoint=false dataset.num_signals_train=64 dataset.num_signals_test=16 \
+  training.num_epochs=750 training.nef.train_until_epoch=150 training.ode.train_from_epoch=150 \
+  test.test_interval=150 test.test_dp_interval=750 test.test_equiv_at_epoch=150 \
+  logging.visualize_every_n_epochs=750 logging.log_every_n_steps=1600
 
 # ---- (b2) diff_sphere out-t knob: ODE weight decay (the knob proposed by
 #           results/r3/diff_sphere_out_t_note.md). Two cheap 150-epoch probes
