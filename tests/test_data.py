@@ -63,6 +63,63 @@ def test_ns_solver_viscous_decay_unforced():
     assert np.all(np.diff(enstrophy) < 0)
 
 
+def test_splitfft_matches_jnp_fft():
+    """Split-complex matmul DFTs reproduce jnp.fft bit-for-tolerance."""
+    from enf_pde_tpu.data.splitfft import (
+        dft_matrices,
+        fft2_real_input,
+        fft2_split,
+        ifft2_real_output,
+        ifft2_split,
+    )
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(3, 32, 32) + 1j * rng.randn(3, 32, 32)).astype(np.complex64)
+    C, S = dft_matrices(32)
+    re, im = fft2_split(jnp.asarray(x.real), jnp.asarray(x.imag), C, S)
+    ref = np.fft.fftn(x, axes=(-2, -1))
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3)
+
+    re_b, im_b = ifft2_split(re, im, C, S)
+    np.testing.assert_allclose(np.asarray(re_b), x.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(im_b), x.imag, atol=1e-4)
+
+    xr = rng.randn(2, 32, 32).astype(np.float32)
+    re, im = fft2_real_input(jnp.asarray(xr), C, S)
+    ref = np.fft.fftn(xr, axes=(-2, -1))
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(ifft2_real_output(re, im, C, S)), xr, atol=1e-4
+    )
+
+
+def test_grf_sample_split_matches_complex():
+    """sample_split draws the identical field as sample (same key), sans complex."""
+    s = GaussianRF2D(32)
+    a = np.asarray(s.sample(jax.random.PRNGKey(3), 4))
+    b = np.asarray(s.sample_split(jax.random.PRNGKey(3), 4))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_ns_rollout_split_matches_complex():
+    """Short split-FFT rollouts track the complex solver to f32 roundoff."""
+    from enf_pde_tpu.data.navier_stokes import navier_stokes_rollout_split
+
+    s = GaussianRF2D(32)
+    w0 = s.sample(jax.random.PRNGKey(4), 2)
+    f = default_forcing(32)
+    kw = dict(visc=1e-3, delta_t=1e-3, record_steps=3, steps_per_record=100)
+    snaps_c, fin_c = navier_stokes_rollout(w0, f, **kw)
+    snaps_s, fin_s = navier_stokes_rollout_split(w0, f, **kw)
+    scale = float(np.abs(np.asarray(snaps_c)).max())
+    np.testing.assert_allclose(
+        np.asarray(snaps_s), np.asarray(snaps_c), atol=2e-3 * scale
+    )
+    np.testing.assert_allclose(np.asarray(fin_s), np.asarray(fin_c), atol=2e-3 * scale)
+
+
 # ---------------------------------------------------------------- planar diffusion
 
 
