@@ -95,45 +95,25 @@ ref_run ihc_full ihc 0 28800 --epochs 2000 --nef-until 500 \
   --test-interval 250 --test-dp-interval 9999
 
 # ---- 2. ns8192: paper-scale signal regime (config_navier_stokes_nonmaml.yaml:27-28
-#         intent: 8192 train / 512 test signals). Epoch budget 50 (30 nef / 20 ode)
-#         — half of ns1024's 100 — documented as reduced; the claim under test is
-#         the signal-scale axis at ~256 steps/epoch, not epoch count.
+#         intent: 8192 train / 512 test signals). Epoch budget 30 (18 nef / 12 ode)
+#         — documented as reduced vs ns1024's 100; at 256 steps/epoch this is
+#         still 2.4x ns1024's total gradient steps. Val every 10 epochs so a
+#         truncated run still yields epoch-matched metric points.
 ntrain=$(ls data/navier_stokes/train 2>/dev/null | wc -l)
 ntest=$(ls data/navier_stokes/test 2>/dev/null | wc -l)
 if [ "$ntrain" -ge 8192 ] && [ "$ntest" -ge 512 ]; then
   SEEDS="0" PERSIST=1 TMO=14400 \
   run ns8192 navier_stokes \
     dataset.num_signals_train=8192 dataset.num_signals_test=512 \
-    training.num_epochs=50 training.nef.train_until_epoch=30 training.ode.train_from_epoch=30 \
-    test.test_interval=50 test.test_dp_interval=50 test.test_equiv_at_epoch=30 \
+    training.num_epochs=30 training.nef.train_until_epoch=18 training.ode.train_from_epoch=18 \
+    test.test_interval=10 test.test_dp_interval=30 test.test_equiv_at_epoch=18 \
     logging.visualize_every_n_epochs=0 logging.log_every_n_steps=2560 \
     logging.checkpoint=true logging.checkpoint_every_n_epochs=5 logging.resume=true
 else
   echo "ns8192 cache incomplete (train=$ntrain test=$ntest); skipping ns8192"
 fi
 
-# ---- 3. sw_full seed 1, both sides (gated on the SW pregen marker; waits up to
-#         2 h while the pregen process is still alive).
-for i in $(seq 1 24); do
-  [ -f outputs/PREGEN_SW_DONE ] && break
-  kill -0 $(cat /tmp/pregen_sw.pid 2>/dev/null) 2>/dev/null || break
-  echo "[queue] waiting for SW pregen ($i/24) $(date +%H:%M:%S)"; sleep 300
-done
-if [ -f outputs/PREGEN_SW_DONE ]; then
-  SEEDS="1" PERSIST=1 TMO=10800 \
-  run sw_full shallow_water \
-    dataset.num_signals_train=32 dataset.num_signals_test=8 \
-    training.num_epochs=1500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
-    test.test_interval=250 test.test_dp_interval=1500 test.test_equiv_at_epoch=500 \
-    logging.visualize_every_n_epochs=1500 logging.log_every_n_steps=800 \
-    logging.checkpoint=true logging.checkpoint_every_n_epochs=250 logging.resume=true
-  ref_run sw_full shallow_water 1 10800 --epochs 1500 --nef-until 500 \
-    --test-dp-interval 1500
-else
-  echo "[queue] SW pregen incomplete; skipping sw_full stages"
-fi
-
-# ---- 4. diff_plane FULL reference protocol, seed 0 both sides.
+# ---- 3. diff_plane FULL reference protocol, seed 0 both sides.
 SEEDS="0" PERSIST=1 TMO=10800 \
 run diff_plane_full diffusion_plane \
   dataset.num_signals_train=128 dataset.num_signals_test=32 \
@@ -144,6 +124,24 @@ run diff_plane_full diffusion_plane \
 ref_run diff_plane_full diff_plane 0 10800 --epochs 1000 --nef-until 100 \
   --signals 128 --test-signals 32 \
   --test-interval 250 --test-dp-interval 1000
+
+# ---- 4. sw_full seed 1, both sides — gated on the CPU SW pregen marker (the
+#         cache did not survive the VM restart; pregen runs niced alongside).
+#         Non-blocking: if the marker is absent the stage is skipped here and
+#         retried once after the diagnostics below.
+sw_full_s1() {
+  [ -f outputs/PREGEN_SW_DONE ] || { echo "[queue] SW cache not ready; skip sw_full s1 for now"; return 0; }
+  SEEDS="1" PERSIST=1 TMO=10800 \
+  run sw_full shallow_water \
+    dataset.num_signals_train=32 dataset.num_signals_test=8 \
+    training.num_epochs=1500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
+    test.test_interval=250 test.test_dp_interval=1500 test.test_equiv_at_epoch=500 \
+    logging.visualize_every_n_epochs=1500 logging.log_every_n_steps=800 \
+    logging.checkpoint=true logging.checkpoint_every_n_epochs=250 logging.resume=true
+  ref_run sw_full shallow_water 1 10800 --epochs 1500 --nef-until 500 \
+    --test-dp-interval 1500
+}
+sw_full_s1
 
 # ---- 5. r5b diagnostics (see tools/queue_r5b.sh for stage rationale).
 SEEDS="1" PERSIST=1 TMO=14400 \
@@ -198,13 +196,17 @@ run diff_sphere_instr diff_sphere \
   test.test_interval=150 test.test_dp_interval=750 test.test_equiv_at_epoch=150 \
   logging.visualize_every_n_epochs=750 logging.log_every_n_steps=1600
 
-SEEDS="2" PERSIST=1 TMO=10800 \
-run sw_full shallow_water \
-  dataset.num_signals_train=32 dataset.num_signals_test=8 \
-  training.num_epochs=1500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
-  test.test_interval=250 test.test_dp_interval=1500 test.test_equiv_at_epoch=500 \
-  logging.visualize_every_n_epochs=1500 logging.log_every_n_steps=800 \
-  logging.checkpoint=true logging.checkpoint_every_n_epochs=500 logging.resume=true
+# Retry sw_full s1 if the pregen finished during the diagnostics, then seed 2.
+sw_full_s1
+if [ -f outputs/PREGEN_SW_DONE ]; then
+  SEEDS="2" PERSIST=1 TMO=10800 \
+  run sw_full shallow_water \
+    dataset.num_signals_train=32 dataset.num_signals_test=8 \
+    training.num_epochs=1500 training.nef.train_until_epoch=500 training.ode.train_from_epoch=500 \
+    test.test_interval=250 test.test_dp_interval=1500 test.test_equiv_at_epoch=500 \
+    logging.visualize_every_n_epochs=1500 logging.log_every_n_steps=800 \
+    logging.checkpoint=true logging.checkpoint_every_n_epochs=500 logging.resume=true
+fi
 
 echo QUEUE_R5C_DONE $(date)
 bash tools/snapshot_r3.sh || true
