@@ -99,8 +99,8 @@ ref_run ihc_full ihc 0 28800 --epochs 2000 --nef-until 500 \
 #         — documented as reduced vs ns1024's 100; at 256 steps/epoch this is
 #         still 2.4x ns1024's total gradient steps. Val every 10 epochs so a
 #         truncated run still yields epoch-matched metric points.
-ntrain=$(ls data/navier_stokes/train 2>/dev/null | wc -l)
-ntest=$(ls data/navier_stokes/test 2>/dev/null | wc -l)
+ntrain=$(ls data/navier_stokes/train/*.npz 2>/dev/null | wc -l)
+ntest=$(ls data/navier_stokes/test/*.npz 2>/dev/null | wc -l)
 if [ "$ntrain" -ge 8192 ] && [ "$ntest" -ge 512 ]; then
   SEEDS="0" PERSIST=1 TMO=14400 \
   run ns8192 navier_stokes \
