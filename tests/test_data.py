@@ -103,6 +103,20 @@ def test_grf_sample_split_matches_complex():
     np.testing.assert_allclose(a, b, atol=2e-4)
 
 
+def test_grf_batch_sampler_matches_per_key_sample():
+    """The jitted batch sampler used by split-FFT generation draws the same
+    per-key fields as ``sample(key, 1)[0]`` — cache determinism depends on it."""
+    from enf_pde_tpu.data.navier_stokes import _grf_sample_split_batch
+
+    s = GaussianRF2D(32)
+    seeds = [7, 11, 123456]
+    keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(k)) for k in seeds]))
+    batch = np.asarray(_grf_sample_split_batch(s.sqrt_eig, keys))
+    for i, seed in enumerate(seeds):
+        one = np.asarray(s.sample(jax.random.PRNGKey(seed), 1)[0])
+        np.testing.assert_allclose(batch[i], one, atol=2e-4)
+
+
 def test_ns_rollout_split_matches_complex():
     """Short split-FFT rollouts track the complex solver to f32 roundoff."""
     from enf_pde_tpu.data.navier_stokes import navier_stokes_rollout_split
