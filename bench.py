@@ -4,9 +4,12 @@ Workload: full-field decode of Navier-Stokes rollouts — 960 frames x 64^2
 coordinates with the paper's NS decoder (hidden 128, 2 heads, 4 latents), the shape of
 the reference's validation/rollout decode (its dominant inference cost).
 
-- baseline: reference-style decoding — a host-side Python loop over coordinate chunks
-  calling a jitted decoder apply per chunk (reference ``pde_trainer.py:393-402``
-  deliberately leaves this un-jitted end to end).
+- baseline: the reference's OWN decoder module (imported from the read-only
+  checkout, constructed as its NS experiment does) timed on the same chip with its
+  val-decode pattern — a host-side Python loop over coordinate chunks calling a
+  jitted apply per chunk (reference ``pde_trainer.py:393-402`` deliberately leaves
+  this un-jitted end to end). Falls back to this repo's jitted XLA chunk path
+  (the pre-round-5 self-referential anchor, still recorded as ``vs_xla_chunk``).
 - ours: the TPU-native path — one jitted program; scan-tiled coordinates; bfloat16
   matmuls with f32 logits/softmax; the fused Pallas decode kernel when available.
 
@@ -91,6 +94,55 @@ _sum = jax.jit(lambda xs: sum(jnp.sum(x) for x in xs))
 def bench_baseline(decoder, params, x, p, a, window, chunk=512):
     """Reference-style: host-side Python chunk loop around a per-chunk jitted apply."""
     apply_jit = jax.jit(decoder.apply)
+
+    def run():
+        outs = []
+        for i in range(0, x.shape[1], chunk):
+            outs.append(apply_jit(params, x[:, i : i + chunk], p, a, window))
+        return _sum(outs)
+
+    return _time(run)
+
+
+def bench_reference_decode(x, p, a, window, chunk=512):
+    """The reference's OWN decoder on the same workload (VERDICT r4 weak #5).
+
+    Imports ``enf.models.EquivariantCrossAttentionNeF`` from the read-only
+    reference checkout, constructs it exactly as the reference NS experiment
+    does (``experiments/fitting/__init__.py:25-39`` with
+    ``config_navier_stokes.yaml``'s nef block), and times it with the
+    reference's val-decode pattern — a host-side chunk loop around a jitted
+    apply (``pde_trainer.py:393-402``). This anchors ``vs_baseline`` to the
+    reference running on the same chip instead of to our own XLA chunk path.
+    """
+    import os
+    import sys
+
+    ref_root = "/root/reference"
+    if not os.path.isdir(ref_root):
+        raise RuntimeError("reference checkout not present")
+    if ref_root not in sys.path:
+        sys.path.insert(0, ref_root)
+    from enf.models import EquivariantCrossAttentionNeF
+    from enf.steerable_attention.invariant.rel_pos_periodic import (
+        RelativePosition2DPeriodic,
+    )
+
+    ref = EquivariantCrossAttentionNeF(
+        num_hidden=128,
+        num_heads=2,
+        num_layers=0,
+        num_out=1,
+        latent_dim=16,
+        self_attn_invariant=RelativePosition2DPeriodic(num_dims=2),
+        cross_attn_invariant=RelativePosition2DPeriodic(num_dims=2),
+        embedding_type="rff",
+        embedding_freq_multiplier=[0.05, 0.1],
+        condition_value_transform=True,
+        use_gaussian_window=True,
+    )
+    params = ref.init(jax.random.PRNGKey(2), x[:, :64], p, a, window)
+    apply_jit = jax.jit(ref.apply)
 
     def run():
         outs = []
@@ -265,6 +317,17 @@ def _run():
     pts_base = n_points / t_base
     pts_ours = n_points / t_ours
 
+    # Honest baseline: the reference's own decoder module on the same chip.
+    # Falls back to the internal XLA chunk path if the reference checkout is
+    # absent or its import/compile fails (never break the driver contract).
+    pts_ref = None
+    try:
+        t_ref = bench_reference_decode(x, p, a, window)
+        pts_ref = n_points / t_ref
+    except Exception as e:
+        print(f"reference decode baseline unavailable: {e!r}", file=sys.stderr)
+    vs_baseline = pts_ours / pts_ref if pts_ref else pts_ours / pts_base
+
     # ------- extra north-star metrics (stderr + side file; stdout stays one line) --
     from enf_pde_tpu.ops.pallas_decode import decode_flops_per_point
 
@@ -279,6 +342,12 @@ def _run():
     on_tpu = backend == "pallas"
     extra = {
         "decode_backend": backend,
+        # Anchors: "reference" = the reference's own decoder timed on this chip
+        # (bench_reference_decode); "xla_chunk" = this repo's jitted chunk path
+        # (kept for cross-round comparability of the old self-referential ratio).
+        "baseline_anchor": "reference" if pts_ref else "xla_chunk",
+        "reference_decode_points_per_sec": round(pts_ref, 1) if pts_ref else None,
+        "vs_xla_chunk": round(pts_ours / pts_base, 3),
         # Timing mode: the pallas path overlaps `pipeline` async dispatches per timed
         # iteration and divides by it (the baseline's per-chunk python loop already
         # pipelines its many launches); recorded so numbers are comparable across rounds.
@@ -316,7 +385,7 @@ def _run():
                 "metric": "enf_decode_throughput",
                 "value": round(pts_ours, 1),
                 "unit": "coord-points/sec/chip",
-                "vs_baseline": round(pts_ours / pts_base, 3),
+                "vs_baseline": round(vs_baseline, 3),
             }
         )
     )
