@@ -23,8 +23,9 @@ echo $$ > /tmp/queue_r4.pid
 hold() { while [ -f /tmp/pause_r3 ] || [ -f /tmp/pause_r4 ]; do sleep 60; done }
 
 # Cross-session persistence for resume-capable runs (outputs/ is wiped on VM
-# restart; results/ is committed). Keep only the latest orbax step dir small
-# runs don't need this — it is opt-in via the PERSIST=1 env on run().
+# restart; results/ is committed). rsync --delete keeps only the latest orbax
+# step dir. Small runs don't need this — persistence is opt-in via the
+# PERSIST=1 env on run().
 persist() {
   local dir=$1 tag=$2
   [ -d ${dir}/checkpoints ] || return 0
